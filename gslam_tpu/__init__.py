@@ -1,0 +1,24 @@
+"""gslam_tpu — TPU-native Gaussian-splatting SLAM.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference
+CUDA SLAM stack (abhigyan7/gslam): monocular (optionally RGB-D) SLAM via 3D
+Gaussian splatting, with a tracking frontend (differentiable-rendering pose
+optimization) and a mapping backend (keyframe map optimization with
+insertion/pruning and a covisibility pose graph).
+
+Design principles (TPU-first, not a port):
+  * All per-splat state lives in fixed-capacity pytrees-of-arrays with a live
+    mask; insertion/pruning are in-place scatter/mask updates, never reshapes,
+    so jitted steps never retrace.
+  * The rasterizer is tile-based: XLA lexicographic sort for tile binning,
+    and alpha compositing expressed as log-space cumulative sums plus an MXU
+    matmul over (pixels x splats) weight matrices — no atomics, no
+    per-pixel serial loops.
+  * Optimization loops (Adam warm-up + L-BFGS with strong-Wolfe line search)
+    run fully inside jit via lax.while_loop / lax.scan.
+  * Multi-device scaling uses jax.sharding.Mesh + NamedSharding (camera-axis
+    data parallelism for mapping, tile-axis parallelism for rendering); XLA
+    inserts the collectives.
+"""
+
+__version__ = "0.1.0"
