@@ -1,0 +1,99 @@
+"""Fixed-capacity Gaussian map buffer.
+
+The reference stores splats as 7 growable torch Parameters and performs
+concat/boolean-mask surgery on them AND their Adam states on every
+insert/prune (/root/reference/gslam/map.py:13-43, insertion.py:27-65,
+pruning.py:10-53). Under XLA that would retrace/reallocate constantly, so the
+TPU design is a donated fixed-capacity pytree-of-arrays with a live mask:
+
+  * insertion = scatter writes into dead slots (+ zeroing optimizer moments),
+  * pruning   = clearing live bits,
+  * rendering = the live mask rides into the projector's cull test.
+
+Shapes never change, so every jitted step compiles exactly once and buffers
+can be donated in-place.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Fields optimized by the mapping backend (everything but ages/alive).
+TRAINABLE_FIELDS = (
+    "means", "quats", "log_scales", "logit_opacities", "logit_colors",
+    "log_uncertainties",
+)
+
+
+class GaussianMap(NamedTuple):
+    means: jax.Array  # [cap, 3]
+    quats: jax.Array  # [cap, 4] wxyz, unnormalized
+    log_scales: jax.Array  # [cap, 3]
+    logit_opacities: jax.Array  # [cap]
+    logit_colors: jax.Array  # [cap, 3]
+    log_uncertainties: jax.Array  # [cap]
+    ages: jax.Array  # [cap] int32: frame index at insertion
+    alive: jax.Array  # [cap] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.means.shape[0]
+
+    def n_live(self) -> jax.Array:
+        return jnp.sum(self.alive.astype(jnp.int32))
+
+    def render_kwargs(self) -> dict:
+        """Keyword arguments for gslam_tpu.ops.render."""
+        return dict(
+            means=self.means,
+            quats=self.quats,
+            log_scales=self.log_scales,
+            logit_opacities=self.logit_opacities,
+            logit_colors=self.logit_colors,
+            log_uncertainties=self.log_uncertainties,
+            alive=self.alive,
+        )
+
+    def trainable(self) -> dict:
+        return {f: getattr(self, f) for f in TRAINABLE_FIELDS}
+
+    def with_trainable(self, params: dict) -> "GaussianMap":
+        return self._replace(**params)
+
+
+def empty_map(capacity: int) -> GaussianMap:
+    return GaussianMap(
+        means=jnp.zeros((capacity, 3), jnp.float32),
+        quats=jnp.concatenate(
+            [jnp.ones((capacity, 1), jnp.float32), jnp.zeros((capacity, 3), jnp.float32)],
+            axis=-1,
+        ),
+        log_scales=jnp.full((capacity, 3), -10.0, jnp.float32),
+        logit_opacities=jnp.full((capacity,), -10.0, jnp.float32),
+        logit_colors=jnp.zeros((capacity, 3), jnp.float32),
+        log_uncertainties=jnp.zeros((capacity,), jnp.float32),
+        ages=jnp.zeros((capacity,), jnp.int32),
+        alive=jnp.zeros((capacity,), bool),
+    )
+
+
+def masked_median(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """Median over `values[mask]` (lower median). values [n] or [n, d]."""
+    if values.ndim == 1:
+        v = jnp.where(mask, values, jnp.inf)
+        v = jnp.sort(v)
+        k = jnp.maximum(jnp.sum(mask.astype(jnp.int32)) - 1, 0) // 2
+        return v[k]
+    v = jnp.where(mask[:, None], values, jnp.inf)
+    v = jnp.sort(v, axis=0)
+    k = jnp.maximum(jnp.sum(mask.astype(jnp.int32)) - 1, 0) // 2
+    return v[k]
+
+
+def compact_free_slots(alive: jax.Array, n: int) -> jax.Array:
+    """Indices of the first `n` dead slots; capacity (out-of-range) when fewer."""
+    cap = alive.shape[0]
+    return jnp.nonzero(~alive, size=n, fill_value=cap)[0].astype(jnp.int32)
