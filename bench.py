@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Headline benchmark: tracking throughput on one chip.
+
+Mirrors BASELINE.json config 1 — per-frame camera tracking against a
+frozen 50k-splat map at 320x240 — and reports FPS against the 30 FPS
+north-star target. Prints ONE JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from gslam_tpu.mapping.gaussians import empty_map
+    from gslam_tpu.ops.rasterize import RenderConfig, render
+    from gslam_tpu.tracking.track import TrackingConfig, track_frame
+    from gslam_tpu.core.transforms import se3_exp
+
+    W, H = 320, 240
+    N = 50_000
+    rng = np.random.default_rng(0)
+    fx = fy = 280.0
+    K = jnp.array([[fx, 0, W / 2], [0, fy, H / 2], [0, 0, 1]], jnp.float32)
+
+    z = rng.uniform(1.2, 4.5, N).astype(np.float32)
+    u = rng.uniform(0, W, N).astype(np.float32)
+    v = rng.uniform(0, H, N).astype(np.float32)
+    means = np.stack([(u - W / 2) * z / fx, (v - H / 2) * z / fy, z], -1)
+
+    gmap = empty_map(N)._replace(
+        means=jnp.asarray(means),
+        quats=jnp.asarray(rng.normal(size=(N, 4)).astype(np.float32)),
+        log_scales=jnp.asarray(
+            np.log(rng.uniform(0.01, 0.04, (N, 3)) * z[:, None]).astype(np.float32)
+        ),
+        logit_opacities=jnp.full((N,), 1.5),
+        logit_colors=jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32) * 1.5),
+        log_uncertainties=jnp.zeros((N,)),
+        alive=jnp.ones((N,), bool),
+    )
+
+    rcfg = RenderConfig(tile_capacity=512, tile_chunk=50, pairs_per_gaussian=6)
+    tcfg = TrackingConfig(render=rcfg)
+
+    # ground-truth frames along a gentle trajectory
+    n_frames = 10
+    xis = rng.normal(scale=0.004, size=(n_frames, 6)).astype(np.float32)
+    poses = []
+    cur = jnp.eye(4)
+    for i in range(n_frames):
+        cur = se3_exp(jnp.asarray(xis[i])) @ cur
+        poses.append(cur)
+    poses = jnp.stack(poses)
+    out = render(
+        **gmap.render_kwargs(),
+        viewmats=poses, Ks=jnp.tile(K[None], (n_frames, 1, 1)),
+        width=W, height=H, cfg=rcfg,
+    )
+    gt_imgs = jnp.clip(out.rgb, 0.0, 1.0)
+    jax.block_until_ready(gt_imgs)
+
+    # warm-up / compile
+    res = track_frame(gmap, jnp.eye(4), jnp.zeros(2), gt_imgs[0], K, W, H, tcfg)
+    jax.block_until_ready(res.pose)
+
+    # timed tracking loop with constant-motion-style chaining
+    t0 = time.time()
+    prev_pose = jnp.eye(4)
+    exposure = jnp.zeros(2)
+    errs = []
+    for i in range(n_frames):
+        res = track_frame(gmap, prev_pose, exposure, gt_imgs[i], K, W, H, tcfg)
+        prev_pose, exposure = res.pose, res.exposure
+        errs.append(res.pose)
+    jax.block_until_ready(prev_pose)
+    dt = time.time() - t0
+    fps = n_frames / dt
+
+    # sanity: final pose close to final gt pose
+    pose_err = float(jnp.linalg.norm(prev_pose[:3, 3] - poses[-1][:3, 3]))
+
+    result = {
+        "metric": "tracking FPS, frozen 50k-splat map @320x240 (1 chip)",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 4),
+        "detail": {
+            "mean_track_ms": round(1e3 * dt / n_frames, 2),
+            "final_pose_err_m": round(pose_err, 5),
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo")
+    main()

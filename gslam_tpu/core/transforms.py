@@ -163,13 +163,15 @@ def so3_log(R: jax.Array) -> jax.Array:
         ],
         axis=-1,
     )
-    sin_t = jnp.clip(0.5 * jnp.linalg.norm(vee, axis=-1), 0.0, 1.0)
+    # Safe-sqrt both-branch trick: at R = I the gradient of ||vee|| is NaN,
+    # so the norm is computed on a guarded value and the small-angle branch
+    # (scale -> 1/2) is selected instead.
+    sin_sq = 0.25 * jnp.sum(vee * vee, axis=-1)
+    small = sin_sq < 1e-14
+    sin_t = jnp.clip(jnp.sqrt(jnp.where(small, 1.0, sin_sq)), 0.0, 1.0)
     # atan2 is well-conditioned over the whole range (unlike arccos in f32).
     theta = jnp.arctan2(sin_t, cos_t)
-    small = theta < 1e-4
-    scale = jnp.where(
-        small, 0.5 + theta**2 / 12.0, theta / jnp.maximum(2.0 * sin_t, 1e-12)
-    )
+    scale = jnp.where(small, 0.5, theta / (2.0 * sin_t))
     return scale[..., None] * vee
 
 

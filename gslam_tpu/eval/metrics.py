@@ -1,0 +1,28 @@
+"""Reconstruction quality metrics (PSNR / SSIM).
+
+Counterpart of the reference's skimage-based evaluation
+(/root/reference/gslam/frontend.py:374-409), computed on device with the
+same SSIM kernel used in the mapping loss.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from gslam_tpu.ops.ssim import ssim as _ssim
+
+
+def psnr(img: np.ndarray, gt: np.ndarray, data_range: float = 1.0) -> float:
+    mse = float(np.mean((np.asarray(img, np.float64) - np.asarray(gt, np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range**2 / mse))
+
+
+def eval_metrics(rendered: np.ndarray, gt: np.ndarray) -> dict:
+    """PSNR + SSIM for one [H, W, 3] pair in [0, 1]."""
+    return {
+        "psnr": psnr(rendered, gt),
+        "ssim": float(_ssim(jnp.asarray(rendered)[None], jnp.asarray(gt)[None])),
+    }

@@ -84,13 +84,14 @@ class MapConfig:
 class PoseAdamState(NamedTuple):
     mu: jax.Array  # [K, 9]
     nu: jax.Array  # [K, 9]
-    count: jax.Array  # [] int32
+    count: jax.Array  # [K] int32 per-keyframe step (torch keeps per-param
+    # Adam steps; a keyframe added mid-run starts at step 0)
 
 
 def init_pose_adam(capacity: int) -> PoseAdamState:
     return PoseAdamState(
         jnp.zeros((capacity, 9)), jnp.zeros((capacity, 9)),
-        jnp.zeros((), jnp.int32),
+        jnp.zeros((capacity,), jnp.int32),
     )
 
 
@@ -157,7 +158,7 @@ def _window_loss(
     return total, aux
 
 
-@partial(jax.jit, static_argnames=("width", "height", "cfg"), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("width", "height", "cfg"), donate_argnums=(0, 1, 2, 3))
 def mapping_step(
     gmap: GaussianMap,
     opt_state: MaskedAdamState,
@@ -181,15 +182,9 @@ def mapping_step(
     Ks = jnp.tile(K[None], (Wn, 1, 1))
     probe = jnp.zeros((Wn, gmap.capacity, 2))
 
-    grad_fn = jax.grad(_window_loss, argnums=(0, 2, 3), has_aux=True)
-    (g_map, g_pose, g_probe), (photo, out) = grad_fn(
+    grad_fn = jax.value_and_grad(_window_loss, argnums=(0, 2, 3), has_aux=True)
+    (total_loss, (photo, out)), (g_map, g_pose, g_probe) = grad_fn(
         gmap.trainable(), gmap, pose_vec, probe, pose_base,
-        gt_imgs, gt_depths, exposures, window_mask, Ks, width, height, cfg,
-    )
-    # recompute scalar losses cheaply from aux
-    total_loss, _ = _window_loss(
-        jax.tree_util.tree_map(jax.lax.stop_gradient, gmap.trainable()),
-        gmap, jax.lax.stop_gradient(pose_vec), probe, pose_base,
         gt_imgs, gt_depths, exposures, window_mask, Ks, width, height, cfg,
     )
 
@@ -203,8 +198,8 @@ def mapping_step(
 
     mu = pose_opt.mu[safe_idx]
     nu = pose_opt.nu[safe_idx]
-    count = pose_opt.count + 1
-    t = count.astype(jnp.float32)
+    count = pose_opt.count[safe_idx] + jnp.where(upd_mask, 1, 0)
+    t = jnp.maximum(count.astype(jnp.float32), 1.0)[:, None]
     mu = 0.9 * mu + 0.1 * g_pose
     nu = 0.999 * nu + 0.001 * g_pose * g_pose
     step = cfg.pose_lr * (mu / (1 - 0.9**t)) / (jnp.sqrt(nu / (1 - 0.999**t)) + 1e-8)
@@ -225,12 +220,12 @@ def mapping_step(
     )
     pose_opt = PoseAdamState(
         mu=pose_opt.mu.at[safe_idx].set(
-            jnp.where(window_mask[:, None], mu, pose_opt.mu[safe_idx])
+            jnp.where(upd_mask[:, None], mu, pose_opt.mu[safe_idx])
         ),
         nu=pose_opt.nu.at[safe_idx].set(
-            jnp.where(window_mask[:, None], nu, pose_opt.nu[safe_idx])
+            jnp.where(upd_mask[:, None], nu, pose_opt.nu[safe_idx])
         ),
-        count=count,
+        count=pose_opt.count.at[safe_idx].set(count),
     )
 
     # per-iteration opacity decay for multi-view-visible splats
@@ -354,6 +349,35 @@ def keyframe_decision_stats(
         translation=translation, median_depth=med, cos_z=cos_z,
         iou=inter / union, new_visible=new_vis, prev_visible=prev_vis,
         new_depth=out.depth[0], new_alpha=out.alpha[0],
+    )
+
+
+class ViewStats(NamedTuple):
+    radii: jax.Array  # [cap]
+    n_touched: jax.Array  # [cap]
+    depth: jax.Array  # [H, W]
+    alpha: jax.Array  # [H, W]
+    rgb: jax.Array  # [H, W, 3]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def render_view_stats(
+    gmap: GaussianMap,
+    pose: jax.Array,  # [4, 4]
+    K: jax.Array,
+    width: int,
+    height: int,
+    cfg: MapConfig = MapConfig(),
+) -> ViewStats:
+    """Single-view render + per-splat stats (pruning pass / sync payload)."""
+    out = render(
+        **gmap.render_kwargs(),
+        viewmats=pose[None], Ks=K[None], width=width, height=height,
+        bg_rgb=jnp.asarray(cfg.background, jnp.float32), cfg=cfg.render,
+    )
+    return ViewStats(
+        radii=out.radii[0], n_touched=out.n_touched[0],
+        depth=out.depth[0], alpha=out.alpha[0], rgb=out.rgb[0],
     )
 
 

@@ -20,6 +20,8 @@ scattered into dead slots; Adam moments at those slots are zeroed.
 from __future__ import annotations
 
 import dataclasses
+import math
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -85,6 +87,7 @@ def _scatter_new_splats(
     return InsertResult(gmap, opt_state, jnp.sum(ok.astype(jnp.int32)))
 
 
+@partial(jax.jit, static_argnames=("n_new", "cfg"))
 def insert_from_depthmap(
     key: jax.Array,
     gmap: GaussianMap,
@@ -157,7 +160,9 @@ def insert_from_depthmap(
         quats=jax.random.uniform(k_quat, (n_new, 4)),
         log_scales=jnp.log(jnp.maximum(scales, 1e-8)),
         logit_opacities=jnp.full(
-            (n_new,), float(jnp.log(cfg.initial_opacity / (1 - cfg.initial_opacity)))
+            (n_new,),
+            math.log(cfg.initial_opacity / (1.0 - cfg.initial_opacity)),
+            jnp.float32,
         ),
         logit_colors=jax.scipy.special.logit(jnp.clip(colors, eps, 1.0 - eps)),
         log_uncertainties=jnp.ones((n_new,), jnp.float32),
@@ -194,6 +199,10 @@ def insert_from_depthmap(
     return _scatter_new_splats(gmap, opt_state, new, keep, frame_index)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_new", "grow_grad2d", "grow_scale3d"),
+)
 def densify_by_gradients(
     key: jax.Array,
     gmap: GaussianMap,

@@ -75,13 +75,18 @@ def bin_gaussians(
     offsets = jnp.cumsum(counts) - counts  # exclusive
     n_pairs = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
 
-    # Enumerate up to max_span^2 local tiles per splat; pair j of splat i is
-    # compacted at offsets[i] + j so the budget is used densely.
+    # Enumerate a fixed max_span x max_span local grid per splat. The local
+    # (dx, dy) come from division by the CONSTANT max_span (a shift on TPU —
+    # variable-divisor integer division lowers to a bit-serial loop and was
+    # ~90% of binning cost); the compact pair index j = dy*span_x + dx still
+    # packs each splat's pairs densely at offsets[i].
     k = jnp.arange(max_span * max_span, dtype=jnp.int32)  # [K]
-    j = k[None, :]  # local pair index within splat
-    dy = j // span_x[:, None]
-    dx = j - dy * span_x[:, None]
-    pair_ok = (j < counts[:, None]) & valid[:, None]
+    dy = (k // max_span)[None, :]
+    dx = (k % max_span)[None, :]
+    pair_ok = (
+        (dx < span_x[:, None]) & (dy < span_y[:, None]) & valid[:, None]
+    )
+    j = dy * span_x[:, None] + dx
     tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
     idx = offsets[:, None] + j
     idx = jnp.where(pair_ok, idx, max_pairs)  # dropped by mode='drop'
@@ -92,12 +97,13 @@ def bin_gaussians(
 
     flat_idx = idx.reshape(-1)
     pair_tile = pair_tile.at[flat_idx].set(
-        tile.reshape(-1).astype(jnp.int32), mode="drop"
+        jnp.broadcast_to(tile, pair_ok.shape).reshape(-1).astype(jnp.int32),
+        mode="drop",
     )
-    depth_b = jnp.broadcast_to(depths[:, None], dx.shape).reshape(-1)
+    depth_b = jnp.broadcast_to(depths[:, None], pair_ok.shape).reshape(-1)
     pair_depth = pair_depth.at[flat_idx].set(depth_b.astype(jnp.float32), mode="drop")
     gid = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], dx.shape
+        jnp.arange(n, dtype=jnp.int32)[:, None], pair_ok.shape
     ).reshape(-1)
     pair_id = pair_id.at[flat_idx].set(gid, mode="drop")
 

@@ -154,12 +154,12 @@ def _render_single_camera(
     means, quats, scales, opacities, colors, betas, alive,
     viewmat, K, probe2d,
     width: int, height: int, bg_rgb, cfg: RenderConfig,
+    bins=None,
 ):
     n = means.shape[0]
     ts = cfg.tile_size
     tiles_x = -(-width // ts)
     tiles_y = -(-height // ts)
-    num_tiles = tiles_x * tiles_y
 
     proj = project_gaussians(
         means, quats, scales, viewmat, K, width, height,
@@ -168,14 +168,15 @@ def _render_single_camera(
     )
     means2d = proj.means2d + probe2d  # probe2d: zeros; grad wrt it = dL/dmeans2d
 
-    max_pairs = int(cfg.pairs_per_gaussian * n)
-    bins = bin_gaussians(
-        jax.lax.stop_gradient(means2d),
-        proj.radii,
-        jax.lax.stop_gradient(proj.depths),
-        proj.valid,
-        ts, tiles_x, tiles_y, max_pairs, cfg.tile_capacity, cfg.max_span,
-    )
+    if bins is None:
+        max_pairs = int(cfg.pairs_per_gaussian * n)
+        bins = bin_gaussians(
+            jax.lax.stop_gradient(means2d),
+            proj.radii,
+            jax.lax.stop_gradient(proj.depths),
+            proj.valid,
+            ts, tiles_x, tiles_y, max_pairs, cfg.tile_capacity, cfg.max_span,
+        )
 
     # Per-splat blend features: [rgb, depth, beta]; invalid splats are force-
     # zeroed through opacity so their (gathered) gradients are exact zeros.
@@ -219,10 +220,58 @@ def _render_single_camera(
         bins.tile_gauss.reshape(-1),
         num_segments=n,
     ).astype(jnp.int32)
-    # guard: splats never binned must not count tile-slot-0 garbage
-    del num_tiles
 
     return rgb, alpha, depth, beta, proj.radii, means2d, proj.depths, n_touched, bins.n_pairs
+
+
+class CameraBins(NamedTuple):
+    """Precomputed per-camera tile lists, reusable across re-renders while
+    the pose moves only a few pixels (the tracking line search)."""
+
+    tile_gauss: jax.Array  # [C, T, M]
+    tile_mask: jax.Array  # [C, T, M]
+    n_pairs: jax.Array  # [C]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg", "radius_scale"))
+def compute_bins(
+    means: jax.Array,
+    quats: jax.Array,
+    log_scales: jax.Array,
+    alive: jax.Array,
+    viewmats: jax.Array,  # [C, 4, 4]
+    Ks: jax.Array,  # [C, 3, 3]
+    width: int,
+    height: int,
+    cfg: RenderConfig = RenderConfig(),
+    radius_scale: float = 1.0,
+    **_unused,
+) -> CameraBins:
+    """Tile binning only (no gradients). `radius_scale` > 1 inflates splat
+    footprints so the lists stay valid as the pose shifts during a tracking
+    refinement; the hot loop then calls render(..., bins=...) and skips the
+    sort entirely."""
+    n = means.shape[0]
+    ts = cfg.tile_size
+    tiles_x = -(-width // ts)
+    tiles_y = -(-height // ts)
+    scales = jnp.exp(log_scales)
+
+    def one(vm, K):
+        proj = project_gaussians(
+            means, quats, scales, vm, K, width, height,
+            near=cfg.near, far=cfg.far, eps2d=cfg.eps2d,
+            radius_clip=cfg.radius_clip, alive=alive,
+        )
+        b = bin_gaussians(
+            proj.means2d, proj.radii * radius_scale, proj.depths, proj.valid,
+            ts, tiles_x, tiles_y, int(cfg.pairs_per_gaussian * n),
+            cfg.tile_capacity, cfg.max_span,
+        )
+        return b.tile_gauss, b.tile_mask, b.n_pairs
+
+    tg, tm, np_ = jax.vmap(one)(viewmats, Ks)
+    return CameraBins(tile_gauss=tg, tile_mask=tm, n_pairs=np_)
 
 
 @partial(
@@ -244,6 +293,7 @@ def render(
     bg_rgb: jax.Array | None = None,  # [3]
     cfg: RenderConfig = RenderConfig(),
     probe2d: jax.Array | None = None,  # [C, N, 2] zeros; see means2d grads
+    bins: CameraBins | None = None,  # reuse precomputed tile lists
 ) -> RenderOutput:
     """Render N splats into C cameras. Fully differentiable (incl. viewmats)."""
     n = means.shape[0]
@@ -258,13 +308,33 @@ def render(
     scales = jnp.exp(log_scales)
     betas = jnp.maximum(jnp.exp(log_uncertainties), 0.01)
 
-    fn = lambda vm, K, pr: _render_single_camera(  # noqa: E731
-        means, quats, scales, opacities, colors, betas, alive,
-        vm, K, pr, width, height, bg_rgb, cfg,
-    )
-    rgb, alpha, depth, beta, radii, means2d, depths, n_touched, n_pairs = jax.vmap(fn)(
-        viewmats, Ks, probe2d
-    )
+    from gslam_tpu.ops.binning import TileBins
+
+    def fn(vm, K, pr, b):
+        tile_bins = None
+        if b is not None:
+            tg, tm, np_ = b
+            tile_bins = TileBins(
+                tile_gauss=tg, tile_mask=tm,
+                tile_counts=jnp.sum(tm.astype(jnp.int32), axis=-1),
+                n_pairs=np_,
+            )
+        return _render_single_camera(
+            means, quats, scales, opacities, colors, betas, alive,
+            vm, K, pr, width, height, bg_rgb, cfg, bins=tile_bins,
+        )
+
+    if bins is None:
+        rgb, alpha, depth, beta, radii, means2d, depths, n_touched, n_pairs = (
+            jax.vmap(lambda vm, K, pr: fn(vm, K, pr, None))(viewmats, Ks, probe2d)
+        )
+    else:
+        rgb, alpha, depth, beta, radii, means2d, depths, n_touched, n_pairs = (
+            jax.vmap(lambda vm, K, pr, tg, tm, np_: fn(vm, K, pr, (tg, tm, np_)))(
+                viewmats, Ks, probe2d,
+                bins.tile_gauss, bins.tile_mask, bins.n_pairs,
+            )
+        )
     return RenderOutput(
         rgb=rgb, alpha=alpha, depth=depth, beta=beta,
         radii=radii, means2d=means2d, depths=depths,

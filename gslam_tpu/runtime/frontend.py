@@ -1,0 +1,105 @@
+"""Tracking frontend actor.
+
+Host-side driver of the jitted tracker (gslam_tpu.tracking.track),
+mirroring the reference Frontend process's behavior
+(/root/reference/gslam/frontend.py:149-247,411-519): initialize on the
+first frame (REQUEST_INIT), predict with the constant-motion prior, refine
+pose+exposure against the latest synced map snapshot, hand frames to the
+backend, and keep the estimated trajectory.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax.numpy as jnp
+
+from gslam_tpu.io.frames import Frame
+from gslam_tpu.runtime.messages import SyncPayload
+from gslam_tpu.tracking.track import (
+    TrackingConfig, constant_motion_prior, track_frame,
+)
+
+logger = logging.getLogger("gslam_tpu.frontend")
+
+
+class FrontendActor:
+    def __init__(self, cfg: TrackingConfig, width: int, height: int):
+        self.cfg = cfg
+        self.width, self.height = width, height
+        self.gmap = None  # latest synced snapshot
+        self.keyframe_poses: dict[int, np.ndarray] = {}
+        self.pose_graph: dict[int, set] = {}
+        self.reference_depth = None
+        self.frames: list[Frame] = []
+        self.track_times: list[float] = []
+        self.losses: list[float] = []
+
+    def apply_sync(self, payload: SyncPayload):
+        self.gmap = payload.gmap
+        self.keyframe_poses = payload.keyframe_poses
+        self.pose_graph = payload.pose_graph
+        self.reference_depth = payload.reference_depth
+
+    def predict_pose(self) -> np.ndarray:
+        if len(self.frames) == 0:
+            return np.eye(4, dtype=np.float32)
+        if len(self.frames) == 1:
+            return self.frames[-1].est_pose
+        a = jnp.asarray(self.frames[-2].est_pose)
+        b = jnp.asarray(self.frames[-1].est_pose)
+        return np.asarray(constant_motion_prior(a, b))
+
+    def track(self, frame: Frame) -> Frame:
+        """Refine the frame's pose against the synced map. The first frame
+        is pinned at identity (the caller must REQUEST_INIT)."""
+        import time
+
+        if len(self.frames) == 0 or self.gmap is None:
+            frame.est_pose = np.eye(4, dtype=np.float32)
+            frame.exposure = np.zeros(2, np.float32)
+            self.frames.append(frame.strip())
+            return frame
+
+        t0 = time.time()
+        prior = self.predict_pose()
+        init_exposure = jnp.asarray(self.frames[-1].exposure)
+        gt_depth = (
+            jnp.asarray(frame.gt_depth)
+            if (self.cfg.use_gt_depths and frame.gt_depth is not None)
+            else None
+        )
+        res = track_frame(
+            self.gmap,
+            jnp.asarray(prior),
+            init_exposure,
+            jnp.asarray(frame.image),
+            frame.camera.K,
+            self.width,
+            self.height,
+            self.cfg,
+            gt_depth=gt_depth,
+        )
+        frame.est_pose = np.asarray(res.pose)
+        frame.exposure = np.asarray(res.exposure)
+        self.track_times.append(time.time() - t0)
+        self.losses.append(float(res.loss))
+        self.frames.append(frame.strip())
+        return frame
+
+    def trajectory(self) -> tuple[np.ndarray, np.ndarray]:
+        """(gt_positions, est_positions) camera centers for frames with gt."""
+        from gslam_tpu.eval.trajectory import trajectory_positions
+
+        gt, est = [], []
+        for f in self.frames:
+            if f.gt_pose is not None and f.est_pose is not None:
+                gt.append(f.gt_pose)
+                est.append(f.est_pose)
+        if not gt:
+            return np.zeros((0, 3)), np.zeros((0, 3))
+        return (
+            trajectory_positions(np.asarray(gt)),
+            trajectory_positions(np.asarray(est)),
+        )

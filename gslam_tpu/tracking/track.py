@@ -28,7 +28,7 @@ from gslam_tpu.opt.lbfgs import lbfgs
 from gslam_tpu.ops.losses import (
     apply_exposure, masked_depth_l1, tracking_photometric,
 )
-from gslam_tpu.ops.rasterize import RenderConfig, render
+from gslam_tpu.ops.rasterize import RenderConfig, compute_bins, render
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +42,7 @@ class TrackingConfig:
     learn_exposure: bool = True
     use_gt_depths: bool = False
     depth_loss_weight: float = 0.01
+    bin_radius_margin: float = 1.5  # footprint inflation for bin reuse
     render: RenderConfig = RenderConfig()
 
 
@@ -78,6 +79,16 @@ def track_frame(
 ) -> TrackResult:
     learn_exposure = cfg.learn_exposure
 
+    # Bin tiles ONCE at the prior pose with inflated footprints; every loss
+    # evaluation of the line search then reuses the lists and only recomputes
+    # projection + blending. Binning dominated the profile (~88% of a render)
+    # and the pose only moves a few pixels within one frame's refinement.
+    bins = compute_bins(
+        gmap.means, gmap.quats, gmap.log_scales, gmap.alive,
+        base_pose[None], K[None], width, height, cfg.render,
+        radius_scale=cfg.bin_radius_margin,
+    )
+
     def unpack(x):
         pose = pose_matrix(PoseDelta(base_pose, x[:6], x[6:9]))
         exposure = x[9:11] if learn_exposure else init_exposure
@@ -88,7 +99,7 @@ def track_frame(
         out = render(
             **gmap.render_kwargs(),
             viewmats=pose[None], Ks=K[None],
-            width=width, height=height, cfg=cfg.render,
+            width=width, height=height, cfg=cfg.render, bins=bins,
         )
         rgb = apply_exposure(out.rgb[0], exposure)
         loss = tracking_photometric(

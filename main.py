@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""gslam_tpu CLI — run Gaussian-splatting SLAM over a dataset.
+
+Mirrors the reference entry point's interface (/root/reference/main.py):
+
+    python main.py --dataset tum --scene /data/rgbd_dataset_freiburg1_desk
+    python main.py --dataset synthetic --seq-len 60
+    python main.py --dataset replica --scene /data/room0
+
+tyro isn't available in this image, so nested configs are exposed as
+explicit argparse flags for the hyperparameters that matter most; anything
+else can be overridden via --set dotted.path=value.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+from datetime import datetime
+from pathlib import Path
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", type=str, default=None, help="dataset directory")
+    p.add_argument(
+        "--dataset",
+        choices=["tum", "replica", "synthetic", "video", "oak"],
+        default="tum",
+    )
+    p.add_argument("--seq-len", type=int, default=-1)
+    p.add_argument("--run-name", type=str, default="")
+    p.add_argument("--downscale", type=int, default=1, help="TUM image downscale")
+    p.add_argument("--capacity", type=int, default=2**17, help="max splats")
+    p.add_argument("--kf-capacity", type=int, default=64)
+    p.add_argument("--use-gt-depths", action="store_true")
+    p.add_argument("--enable-pgo", action="store_true")
+    p.add_argument("--threaded", action="store_true",
+                   help="free-running backend thread instead of deterministic interleave")
+    p.add_argument("--init-iters", type=int, default=None)
+    p.add_argument("--mapping-iters", type=int, default=None)
+    p.add_argument("--tracking-max-evals", type=int, default=None)
+    p.add_argument("--set", action="append", default=[], metavar="PATH=VALUE",
+                   help="override any nested config field, e.g. mapping.ssim_weight=0.1")
+    return p
+
+
+def apply_overrides(cfg, overrides):
+    for item in overrides:
+        path, value = item.split("=", 1)
+        parts = path.split(".")
+        obj = cfg
+        for part in parts[:-1]:
+            obj = getattr(obj, part)
+        field = parts[-1]
+        old = getattr(obj, field)
+        typ = type(old) if old is not None else str
+        new = json.loads(value) if typ in (dict, list, tuple) else typ(value)
+        if dataclasses.is_dataclass(obj) and getattr(obj, "__dataclass_params__").frozen:
+            raise SystemExit(
+                f"--set cannot override frozen config field {path}; "
+                "use the dedicated flag if one exists"
+            )
+        setattr(obj, field, new)
+    return cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(levelname)s] %(name)s: %(message)s")
+
+    from gslam_tpu.io import build_dataset
+    from gslam_tpu.runtime.system import SlamConfig, SlamSystem
+    from gslam_tpu.mapping.backend_ops import MapConfig
+    from gslam_tpu.tracking.track import TrackingConfig
+
+    ds_kwargs = {}
+    if args.dataset == "tum":
+        ds_kwargs["downscale"] = args.downscale
+    dataset = build_dataset(args.dataset, args.scene, args.seq_len, **ds_kwargs)
+    cam = dataset.camera if dataset.camera is not None else dataset[0].camera
+
+    run_name = args.run_name or datetime.now().strftime("%Y-%m-%d--%H-%M-%S")
+    run_dir = Path("runs") / run_name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    (run_dir / "args.txt").write_text(" ".join(sys.argv))
+
+    m_kwargs = dict(use_gt_depths=args.use_gt_depths, enable_pgo=args.enable_pgo)
+    if args.init_iters is not None:
+        m_kwargs["num_iters_init"] = args.init_iters
+    if args.mapping_iters is not None:
+        m_kwargs["num_iters_mapping"] = args.mapping_iters
+    t_kwargs = dict(use_gt_depths=args.use_gt_depths)
+    if args.tracking_max_evals is not None:
+        t_kwargs["lbfgs_max_eval"] = args.tracking_max_evals
+
+    cfg = SlamConfig(
+        tracking=TrackingConfig(**t_kwargs),
+        mapping=MapConfig(**m_kwargs),
+        capacity=args.capacity,
+        kf_capacity=args.kf_capacity,
+        synchronous=not args.threaded,
+        run_dir=str(run_dir),
+    )
+    cfg = apply_overrides(cfg, args.set)
+
+    system = SlamSystem(cfg, cam.width, cam.height)
+    metrics = system.run(dataset)
+    print(json.dumps(metrics, indent=2))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

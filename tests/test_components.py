@@ -1,0 +1,162 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gslam_tpu.eval.trajectory import (
+    kabsch_umeyama, ate_rmse, align_trajectory, trajectory_positions,
+)
+from gslam_tpu.eval.metrics import psnr
+from gslam_tpu.eval.spline import (
+    init_spline, seed_from_poses, spline_pose, spline_velocity,
+    spline_acceleration, fit_spline,
+)
+from gslam_tpu.core.transforms import so3_exp
+
+
+def test_kabsch_recovers_similarity(rng):
+    a = rng.random((40, 3))
+    R_true = np.asarray(so3_exp(jnp.asarray([0.3, -0.2, 0.5])))
+    c_true, t_true = 1.7, np.array([0.4, -1.0, 2.0])
+    # a = t + c R b  =>  b = R^T (a - t)/c
+    b = (R_true.T @ ((a - t_true) / c_true).T).T
+    R, c, t = kabsch_umeyama(a, b)
+    np.testing.assert_allclose(R, R_true, atol=1e-5)
+    assert abs(c - c_true) < 1e-5
+    np.testing.assert_allclose(t, t_true, atol=1e-5)
+    assert ate_rmse(a, b) < 1e-6
+
+
+def test_align_trajectory_reduces_error(rng):
+    gt = np.cumsum(rng.normal(size=(30, 3)) * 0.1, axis=0)
+    est = gt * 2.0 + np.array([5, 5, 5])  # scaled + shifted
+    aligned = align_trajectory(gt, est)
+    assert np.linalg.norm(aligned - gt) < 1e-4
+
+
+def test_trajectory_positions():
+    w2c = np.eye(4)[None].repeat(2, 0).astype(np.float64)
+    w2c[1, :3, 3] = [1.0, 0, 0]  # t = -R c -> c = -t for R=I
+    pos = trajectory_positions(w2c)
+    np.testing.assert_allclose(pos[1], [-1, 0, 0], atol=1e-8)
+
+
+def test_psnr():
+    a = np.zeros((8, 8, 3))
+    b = np.full((8, 8, 3), 0.1)
+    assert abs(psnr(a, b) - 20.0) < 1e-6
+
+
+def test_spline_interpolates_line():
+    sp = init_spline(32, interval=0.5, start_time=0.0)
+    times = jnp.arange(20, dtype=jnp.float32) * 0.5
+    pos = jnp.stack([times, 2 * times, jnp.zeros_like(times)], -1)
+    rot = jnp.tile(jnp.eye(3)[None], (20, 1, 1))
+    sp = seed_from_poses(sp, times, rot, pos)
+    q_t = jnp.array([3.0, 5.25, 7.4])
+    R, p = spline_pose(sp, q_t)
+    # straight line: spline reproduces it exactly in the interior
+    np.testing.assert_allclose(np.asarray(p[:, 0]), np.asarray(q_t), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(p[:, 1]), 2 * np.asarray(q_t), atol=2e-3)
+    v = spline_velocity(sp, q_t)
+    np.testing.assert_allclose(np.asarray(v), np.tile([1.0, 2.0, 0.0], (3, 1)),
+                               atol=1e-3)
+    a = spline_acceleration(sp, q_t)
+    np.testing.assert_allclose(np.asarray(a), 0.0, atol=1e-2)
+
+
+def test_spline_rotation_continuity():
+    sp = init_spline(16, interval=1.0, start_time=0.0)
+    times = jnp.arange(10, dtype=jnp.float32)
+    w = jnp.stack([0.1 * times, jnp.zeros_like(times), jnp.zeros_like(times)], -1)
+    rot = so3_exp(w)
+    pos = jnp.zeros((10, 3))
+    sp = seed_from_poses(sp, times, rot, pos)
+    R, _ = spline_pose(sp, jnp.array([4.0, 4.5, 5.0]))
+    Rn = np.asarray(R)
+    # orthonormality preserved
+    for i in range(3):
+        np.testing.assert_allclose(Rn[i] @ Rn[i].T, np.eye(3), atol=1e-5)
+
+
+def test_fit_spline_to_noisy_poses(rng):
+    sp = init_spline(24, interval=0.5, start_time=0.0)
+    times = jnp.asarray(np.linspace(0, 8, 40, dtype=np.float32))
+    pos_gt = jnp.stack(
+        [jnp.sin(times), jnp.cos(times), 0.2 * times], -1
+    )
+    rot_gt = jnp.tile(jnp.eye(3)[None], (40, 1, 1))
+    sp = seed_from_poses(sp, times, rot_gt, pos_gt)
+    noisy = pos_gt + jnp.asarray(rng.normal(scale=0.05, size=(40, 3)).astype(np.float32))
+    sp2, losses = fit_spline(sp, times, rot_gt, noisy, n_steps=100)
+    assert float(losses[-1]) < float(losses[0])
+    _, p = spline_pose(sp2, times[5:-5])
+    err = np.linalg.norm(np.asarray(p) - np.asarray(pos_gt[5:-5]), axis=-1)
+    assert err.mean() < 0.1
+
+
+def test_warp_track_recovers_translation(rng):
+    """Warp tracking: recover a small known pose offset between two renders."""
+    from gslam_tpu.tracking.warp import warp_track, warp_image, bilinear_sample
+    from gslam_tpu.tracking.track import TrackingConfig
+    from gslam_tpu.ops.rasterize import RenderConfig, render
+    import scene_utils
+
+    params, viewmats, Ks, w, h = scene_utils.make_scene(rng, n=150, width=64,
+                                                        height=48)
+    cfg = RenderConfig(tile_capacity=128, tile_chunk=4)
+    ref = render(**params, viewmats=viewmats, Ks=Ks, width=w, height=h, cfg=cfg)
+
+    from gslam_tpu.core.transforms import se3_exp
+
+    xi = jnp.array([0.01, -0.008, 0.0, 0.0, 0.0, 0.004])
+    new_pose_gt = se3_exp(xi) @ viewmats[0]
+    new = render(**params, viewmats=new_pose_gt[None], Ks=Ks, width=w, height=h,
+                 cfg=cfg)
+
+    tcfg = TrackingConfig(
+        lbfgs_max_iter=15, lbfgs_max_eval=40, learn_exposure=False,
+    )
+    pose, _, loss = warp_track(
+        viewmats[0], viewmats[0], ref.rgb[0], ref.depth[0], new.rgb[0],
+        Ks[0], jnp.zeros(2), tcfg, ref_alpha=ref.alpha[0],
+    )
+    err0 = float(jnp.linalg.norm(viewmats[0][:3, 3] - new_pose_gt[:3, 3]))
+    err1 = float(jnp.linalg.norm(pose[:3, 3] - new_pose_gt[:3, 3]))
+    assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_native_crc8():
+    from gslam_tpu.io.native import crc8
+
+    assert crc8(b"123456789") == 0xF4
+    assert crc8(b"") == 0x00
+
+
+def test_teleop_packet():
+    import struct
+    from teleop import make_packet, START_BYTE, CommandSmoother
+
+    pkt = make_packet(0.2, -0.5)
+    assert len(pkt) == 10
+    assert pkt[0] == START_BYTE
+    v, w = struct.unpack("<ff", pkt[1:9])
+    assert abs(v - 0.2) < 1e-6 and abs(w + 0.5) < 1e-6
+    from gslam_tpu.io.native import crc8
+
+    assert pkt[9] == crc8(pkt[:9])
+
+    sm = CommandSmoother(alpha=0.5)
+    v1, _ = sm.update(1.0, 0.0)
+    v2, _ = sm.update(1.0, 0.0)
+    assert 0 < v1 < v2 < 1.0
+
+
+def test_false_colormap():
+    from gslam_tpu.viz.visualization import false_colormap
+
+    img = np.linspace(0, 1, 64).reshape(8, 8)
+    out = false_colormap(img)
+    assert out.shape == (8, 8, 3) and out.dtype == np.uint8
+
+    masked = false_colormap(img, mask=img > 0.5)
+    assert (masked[img <= 0.5] == 0).all()
