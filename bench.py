@@ -40,7 +40,7 @@ def main():
         means=jnp.asarray(means),
         quats=jnp.asarray(rng.normal(size=(N, 4)).astype(np.float32)),
         log_scales=jnp.asarray(
-            np.log(rng.uniform(0.01, 0.04, (N, 3)) * z[:, None]).astype(np.float32)
+            np.log(rng.uniform(0.004, 0.016, (N, 3)) * z[:, None]).astype(np.float32)
         ),
         logit_opacities=jnp.full((N,), 1.5),
         logit_colors=jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32) * 1.5),
@@ -48,7 +48,7 @@ def main():
         alive=jnp.ones((N,), bool),
     )
 
-    rcfg = RenderConfig(tile_capacity=512, tile_chunk=50, pairs_per_gaussian=6)
+    rcfg = RenderConfig(tile_capacity=512, tile_chunk=50, pairs_per_gaussian=8)
     tcfg = TrackingConfig(render=rcfg)
 
     # ground-truth frames along a gentle trajectory

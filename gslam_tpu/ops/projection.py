@@ -44,6 +44,71 @@ def _quat_scale_to_cov3d(quats: jax.Array, scales: jax.Array) -> jax.Array:
     return jnp.einsum("...ij,...kj->...ik", M, M, precision=HIGH)
 
 
+def _cov3d_components(quats: jax.Array, scales: jax.Array):
+    """Upper-triangular world covariance as six [N] vectors.
+
+    Batched tiny-matrix einsums pad onto the MXU catastrophically (each 3x3
+    becomes a full tile), so the whole EWA covariance chain is written as
+    elementwise VPU arithmetic over the splat axis.
+    """
+    # rotation entries straight from quaternion components as [N] vectors —
+    # an [N, 3, 3] intermediate would pad its 3-lane minor axis to 128 and
+    # spend the whole op relayouting.
+    q = quats / jnp.maximum(
+        jnp.sqrt(jnp.sum(quats * quats, axis=-1, keepdims=True)), 1e-12
+    )
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy_, xz_, yz_ = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    s0, s1, s2 = scales[..., 0], scales[..., 1], scales[..., 2]
+    m00 = (1.0 - 2.0 * (yy + zz)) * s0
+    m01 = (2.0 * (xy_ - wz)) * s1
+    m02 = (2.0 * (xz_ + wy)) * s2
+    m10 = (2.0 * (xy_ + wz)) * s0
+    m11 = (1.0 - 2.0 * (xx + zz)) * s1
+    m12 = (2.0 * (yz_ - wx)) * s2
+    m20 = (2.0 * (xz_ - wy)) * s0
+    m21 = (2.0 * (yz_ + wx)) * s1
+    m22 = (1.0 - 2.0 * (xx + yy)) * s2
+    c00 = m00 * m00 + m01 * m01 + m02 * m02
+    c01 = m00 * m10 + m01 * m11 + m02 * m12
+    c02 = m00 * m20 + m01 * m21 + m02 * m22
+    c11 = m10 * m10 + m11 * m11 + m12 * m12
+    c12 = m10 * m20 + m11 * m21 + m12 * m22
+    c22 = m20 * m20 + m21 * m21 + m22 * m22
+    return c00, c01, c02, c11, c12, c22
+
+
+def _rotate_cov(R: jax.Array, c):
+    """Sigma_cam = R Sigma_world R^T, expanded elementwise.
+
+    R is one camera's [3,3]; c are the six [N] world-covariance components.
+    Returns the six camera-frame components as [N] vectors.
+    """
+    c00, c01, c02, c11, c12, c22 = c
+
+    def row_sigma(r):  # (R Sigma) row given R row r = (a, b, d)
+        a, b, d = r[0], r[1], r[2]
+        return (
+            a * c00 + b * c01 + d * c02,
+            a * c01 + b * c11 + d * c12,
+            a * c02 + b * c12 + d * c22,
+        )
+
+    s0 = row_sigma(R[0])
+    s1 = row_sigma(R[1])
+    s2 = row_sigma(R[2])
+
+    def dot_row(s, r):
+        return s[0] * r[0] + s[1] * r[1] + s[2] * r[2]
+
+    return (
+        dot_row(s0, R[0]), dot_row(s0, R[1]), dot_row(s0, R[2]),
+        dot_row(s1, R[1]), dot_row(s1, R[2]), dot_row(s2, R[2]),
+    )
+
+
 def quat_scale_to_covar(quats: jax.Array, scales: jax.Array) -> jax.Array:
     """Public helper mirroring gsplat's quat_scale_to_covar_preci covar output
     (used by the split densification strategy; /root/reference/gslam/insertion.py:88)."""
@@ -66,8 +131,12 @@ def project_gaussians(
 ) -> ProjectionOutput:
     R = viewmat[:3, :3]
     t = viewmat[:3, 3]
-    p_cam = jnp.matmul(means, R.T, precision=HIGH) + t  # [N, 3]
-    z = p_cam[..., 2]
+    # world->camera transform, elementwise (a [N,3]@[3,3] matmul pads to the
+    # MXU tile and runs ~1000x below peak for this shape)
+    mx, my, mz = means[..., 0], means[..., 1], means[..., 2]
+    px = R[0, 0] * mx + R[0, 1] * my + R[0, 2] * mz + t[0]
+    py = R[1, 0] * mx + R[1, 1] * my + R[1, 2] * mz + t[1]
+    z = R[2, 0] * mx + R[2, 1] * my + R[2, 2] * mz + t[2]
 
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
@@ -81,13 +150,11 @@ def project_gaussians(
     tan_fov_y = 0.5 * height / fy
     lim_x = 1.3 * tan_fov_x
     lim_y = 1.3 * tan_fov_y
-    tx = z_safe * jnp.clip(p_cam[..., 0] / z_safe, -lim_x, lim_x)
-    ty = z_safe * jnp.clip(p_cam[..., 1] / z_safe, -lim_y, lim_y)
+    tx = z_safe * jnp.clip(px / z_safe, -lim_x, lim_x)
+    ty = z_safe * jnp.clip(py / z_safe, -lim_y, lim_y)
 
-    cov3d_world = _quat_scale_to_cov3d(quats, scales)  # [N, 3, 3]
-    cov3d_cam = jnp.einsum(
-        "ij,njk,lk->nil", R, cov3d_world, R, precision=HIGH
-    )  # [N, 3, 3]
+    cov_world = _cov3d_components(quats, scales)
+    c00, c01, c02, c11, c12, c22 = _rotate_cov(R, cov_world)
 
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
@@ -96,9 +163,6 @@ def project_gaussians(
     j02 = -fx * tx * inv_z2
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z2
-
-    c00, c01, c02 = cov3d_cam[..., 0, 0], cov3d_cam[..., 0, 1], cov3d_cam[..., 0, 2]
-    c11, c12, c22 = cov3d_cam[..., 1, 1], cov3d_cam[..., 1, 2], cov3d_cam[..., 2, 2]
 
     # cov2d = J Sigma J^T, expanded (J is 2x3 with zeros at (0,1) and (1,0)).
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22)
@@ -119,9 +183,7 @@ def project_gaussians(
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(v_max, 0.0)))
     radius = jax.lax.stop_gradient(radius)
 
-    mean2d = jnp.stack(
-        [fx * p_cam[..., 0] * inv_z + cx, fy * p_cam[..., 1] * inv_z + cy], axis=-1
-    )
+    mean2d = jnp.stack([fx * px * inv_z + cx, fy * py * inv_z + cy], axis=-1)
 
     inside = (
         (mean2d[..., 0] + radius > 0)

@@ -44,6 +44,7 @@ HIGH = jax.lax.Precision.HIGHEST
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
+    backend: str = "auto"  # 'auto' | 'pallas' | 'jnp'
     tile_size: int = 16
     tile_capacity: int = 256  # max splats blended per tile (nearest kept)
     pairs_per_gaussian: int = 8  # pair budget = N * this
@@ -81,7 +82,24 @@ def _blend_tiles(
     opacities,  # [N]
     features,  # [N, F]
     cfg: RenderConfig,
+    tiles_x: int | None = None,
 ):
+    use_pallas = cfg.backend == "pallas" or (
+        cfg.backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas and tiles_x is not None:
+        from gslam_tpu.ops.blend_pallas import blend_tiles_pallas
+
+        g_xy = means2d[tile_gauss]  # [T, M, 2]
+        g_con = conics[tile_gauss]
+        g_op = jnp.where(tile_mask, opacities[tile_gauss], 0.0)
+        g_feat = features[tile_gauss]
+        out, t_final, touched = blend_tiles_pallas(
+            g_xy, g_con, g_op, g_feat, cfg.tile_size, tiles_x,
+            (cfg.alpha_cut, cfg.alpha_clamp, cfg.visibility_min_T),
+        )
+        return out, 1.0 - t_final, t_final, touched
+
     ts = cfg.tile_size
     P = ts * ts
     F = features.shape[-1]
@@ -193,7 +211,7 @@ def _render_single_camera(
 
     out, alpha_img, t_final, touched = _blend_tiles(
         bins.tile_gauss, bins.tile_mask, origin,
-        means2d, proj.conics, opac, feats, cfg,
+        means2d, proj.conics, opac, feats, cfg, tiles_x=tiles_x,
     )
 
     bg = jnp.concatenate(

@@ -15,10 +15,14 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin force-selects itself regardless of the JAX_PLATFORMS
+# env var; updating the config AFTER import is the only way to get a real
+# (multi-device) CPU backend in this environment.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Compilation in this environment is very slow; persist compiled executables
 # across test processes.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -1,0 +1,124 @@
+"""Pallas blend kernel consistency (interpret mode) + multi-device sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gslam_tpu.ops.rasterize import RenderConfig, render, compute_bins
+
+from scene_utils import make_scene
+
+CFG_J = RenderConfig(backend="jnp", tile_capacity=128, tile_chunk=4)
+CFG_P = RenderConfig(backend="pallas", tile_capacity=128, tile_chunk=4)
+
+
+def test_pallas_matches_jnp_forward(rng):
+    params, viewmats, Ks, w, h = make_scene(rng, n=100)
+    a = render(**params, viewmats=viewmats, Ks=Ks, width=w, height=h, cfg=CFG_J)
+    b = render(**params, viewmats=viewmats, Ks=Ks, width=w, height=h, cfg=CFG_P)
+    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.beta), np.asarray(b.beta), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a.n_touched), np.asarray(b.n_touched))
+
+
+def test_pallas_matches_jnp_gradients(rng):
+    params, viewmats, Ks, w, h = make_scene(rng, n=60)
+    target = jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32))
+
+    def loss(x, cfg, name):
+        p = dict(params)
+        p[name] = x
+        o = render(**p, viewmats=viewmats, Ks=Ks, width=w, height=h, cfg=cfg)
+        return jnp.mean((o.rgb - target) ** 2) + 0.1 * jnp.mean(o.alpha)
+
+    for name in ("means", "log_scales", "logit_opacities", "logit_colors",
+                 "log_uncertainties"):
+        ga = jax.grad(lambda x: loss(x, CFG_J, name))(params[name])
+        gb = jax.grad(lambda x: loss(x, CFG_P, name))(params[name])
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=1e-6, rtol=1e-4, err_msg=name
+        )
+
+
+def test_pallas_pose_gradient(rng):
+    params, viewmats, Ks, w, h = make_scene(rng, n=60)
+    target = jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32))
+
+    def loss(vm, cfg):
+        o = render(**params, viewmats=vm, Ks=Ks, width=w, height=h, cfg=cfg)
+        return jnp.mean((o.rgb - target) ** 2)
+
+    ga = jax.grad(lambda v: loss(v, CFG_J))(viewmats)
+    gb = jax.grad(lambda v: loss(v, CFG_P))(viewmats)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6, rtol=1e-4)
+
+
+def test_pallas_with_reused_bins(rng):
+    params, viewmats, Ks, w, h = make_scene(rng, n=60)
+    bins = compute_bins(
+        params["means"], params["quats"], params["log_scales"], params["alive"],
+        viewmats, Ks, w, h, CFG_P, radius_scale=1.5,
+    )
+    a = render(**params, viewmats=viewmats, Ks=Ks, width=w, height=h,
+               cfg=CFG_J, bins=bins)
+    b = render(**params, viewmats=viewmats, Ks=Ks, width=w, height=h,
+               cfg=CFG_P, bins=bins)
+    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb), atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2+ devices")
+def test_camera_dp_matches_single_device(rng):
+    """Camera-DP gradients over a 2-device mesh == single-device result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gslam_tpu.mapping.backend_ops import MapConfig
+    from gslam_tpu.mapping.gaussians import empty_map
+    from gslam_tpu.mapping.optimizer import init_adam
+    from gslam_tpu.parallel.sharding import dp_mapping_train_step, make_mesh
+
+    n, w, h = 64, 48, 32
+    params, viewmats, Ks, *_ = make_scene(rng, n=n, width=w, height=h)
+    def fresh():
+        # deep-copy: dp_mapping_train_step donates (deletes) its buffers
+        return empty_map(n)._replace(
+            **{k: jnp.asarray(np.asarray(v)) for k, v in params.items()}
+        )
+
+    gmap = fresh()
+    opt = init_adam(gmap)
+    C = 2
+    gt = jnp.asarray(rng.random((C, h, w, 3)).astype(np.float32))
+    pose_vec = jnp.zeros((C, 9))
+    pose_base = jnp.tile(jnp.eye(4)[None], (C, 1, 1))
+    exposures = jnp.zeros((C, 2))
+    Ks2 = jnp.tile(Ks, (C, 1, 1))
+    cfg = MapConfig(render=RenderConfig(backend="jnp", tile_capacity=64,
+                                        tile_chunk=2))
+
+    g1, o1, p1 = dp_mapping_train_step(
+        gmap, opt, pose_vec, pose_base, gt, exposures, Ks2, w, h, cfg
+    )
+
+    mesh = make_mesh(2)
+    repl = NamedSharding(mesh, P())
+    cam = NamedSharding(mesh, P("cam"))
+    gmap_b = fresh()  # the first call donated (deleted) gmap's buffers
+    g2, o2, p2 = dp_mapping_train_step(
+        jax.device_put(gmap_b, repl), jax.device_put(init_adam(gmap_b), repl),
+        jax.device_put(jnp.zeros((C, 9)), cam),
+        jax.device_put(pose_base, cam), jax.device_put(gt, cam),
+        jax.device_put(exposures, cam), jax.device_put(Ks2, cam),
+        w, h, cfg,
+    )
+    np.testing.assert_allclose(np.asarray(g1.means), np.asarray(g2.means),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
