@@ -47,16 +47,29 @@ def _should_interpret() -> bool:
 
 
 def _prefix_sum(x):
-    """Inclusive cumulative sum along the last axis (Hillis-Steele doubling
-    with static slices — jnp.cumsum has no Pallas TPU lowering, and a
-    triangular MXU matmul at f32 precision costs ~6x the whole kernel)."""
+    """Inclusive cumulative sum along the last axis as an MXU matmul against
+    an upper-triangular 0/1 matrix, made exact in f32 by a hi/lo split.
+
+    Rationale (all measured on v5e): jnp.cumsum has no Mosaic lowering;
+    Hillis-Steele doubling needs lane-shift relayouts and runs ~770x slower
+    than the MXU; Mosaic only lowers DEFAULT/HIGHEST dot precisions, and
+    DEFAULT rounds inputs to bf16. Splitting x = hi + lo with hi the bf16
+    roundtrip makes both operands of the 0/1 matmul exactly representable,
+    so two DEFAULT-precision passes reproduce the exact f32 result.
+    """
     m = x.shape[-1]
-    k = 1
-    while k < m:
-        pad = jnp.zeros(x.shape[:-1] + (k,), x.dtype)
-        x = x + jnp.concatenate([pad, x[..., :-k]], axis=-1)
-        k *= 2
-    return x
+    row = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    tri = (row <= col).astype(x.dtype)
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    rem = x - hi
+    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = rem - mid
+    return (
+        jnp.dot(hi, tri, preferred_element_type=jnp.float32)
+        + jnp.dot(mid, tri, preferred_element_type=jnp.float32)
+        + jnp.dot(lo, tri, preferred_element_type=jnp.float32)
+    )
 
 
 def _suffix_sum(x):
@@ -104,8 +117,15 @@ def _fwd_kernel(
     T = jnp.exp(logT_incl - log1m)  # exclusive transmittance
     w = alpha * T
 
-    out_ref[0] = jnp.dot(w, feat_ref[0], preferred_element_type=jnp.float32,
-                         precision=HIGH)
+    # out[p, f] = sum_m w[p, m] feat[f, m]: F is tiny, so unrolled VPU
+    # reductions beat a lane-contracting dot (which Mosaic lowers ~10x
+    # slower than the natural [P,M]@[M,F] form).
+    feat = feat_ref[0]  # [F, M]
+    F = feat.shape[0]
+    cols = [
+        jnp.sum(w * feat[f:f + 1, :], axis=-1, keepdims=True) for f in range(F)
+    ]
+    out_ref[0] = jnp.concatenate(cols, axis=-1)
     # t_final = exp(sum of all log(1-alpha)) — a reduction, not a slice
     tf_ref[0] = jnp.exp(jnp.sum(log1m, axis=-1, keepdims=True)).T
     touched_ref[0] = jnp.sum(
@@ -121,7 +141,7 @@ def _bwd_kernel(
     t = pl.program_id(0)
     px, py = _pixel_grid(ts, tiles_x, t)
     op = op_ref[0]  # [1, M]
-    feat = feat_ref[0]  # [M, F]
+    feat = feat_ref[0]  # [F, M]
     g_out = gout_ref[0]  # [P, F]
     g_tf = gtf_ref[0]  # [1, P]
 
@@ -134,17 +154,19 @@ def _bwd_kernel(
     w = alpha * T
     tf = jnp.exp(jnp.sum(log1m, axis=-1, keepdims=True))  # [P, 1]
 
-    # dL/dfeat [M, F] = w^T @ g_out (contract pixels)
-    dfeat_ref[0] = jax.lax.dot_general(
-        w, g_out, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=HIGH,
-    )
+    F = feat.shape[0]
+    gcols = [g_out[:, f:f + 1] for f in range(F)]  # [P, 1] each
 
-    # G = g_out @ feat^T (contract features) -> [P, M]
-    G = jax.lax.dot_general(
-        g_out, feat, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=HIGH,
-    )
+    # dL/dfeat [F, M] = sum_p g_out[p, f] w[p, m]: per-channel reductions
+    dfeat_rows = [
+        jnp.sum(gcols[f] * w, axis=0, keepdims=True) for f in range(F)
+    ]
+    dfeat_ref[0] = jnp.concatenate(dfeat_rows, axis=0)
+
+    # G[p, m] = sum_f g_out[p, f] feat[f, m]: per-channel outer products
+    G = gcols[0] * feat[0:1, :]
+    for f in range(1, F):
+        G = G + gcols[f] * feat[f:f + 1, :]
     S = _suffix_sum(w * G)
     one_m = 1.0 - alpha
     g_alpha = T * G - S / one_m - (g_tf.T * tf) / one_m
@@ -178,7 +200,7 @@ def _run_fwd(xy_t, con_t, op_t, feat, ts, tiles_x, cfg_tuple):
     alpha_cut, alpha_clamp, min_t = cfg_tuple
     T_tiles, _, M = op_t.shape
     P = ts * ts
-    F = feat.shape[-1]
+    F = feat.shape[1]
     kernel = functools.partial(
         _fwd_kernel, ts=ts, tiles_x=tiles_x,
         alpha_cut=alpha_cut, alpha_clamp=alpha_clamp, min_t=min_t,
@@ -187,7 +209,7 @@ def _run_fwd(xy_t, con_t, op_t, feat, ts, tiles_x, cfg_tuple):
         kernel,
         grid=(T_tiles,),
         in_specs=[_block((2, M)), _block((3, M)), _block((1, M)),
-                  _block((M, F))],
+                  _block((F, M))],
         out_specs=[_block((P, F)), _block((1, P)), _block((1, M))],
         out_shape=[
             jax.ShapeDtypeStruct((T_tiles, P, F), jnp.float32),
@@ -202,7 +224,7 @@ def _run_bwd(xy_t, con_t, op_t, feat, g_out, g_tf, ts, tiles_x, cfg_tuple):
     alpha_cut, alpha_clamp, _ = cfg_tuple
     T_tiles, _, M = op_t.shape
     P = ts * ts
-    F = feat.shape[-1]
+    F = feat.shape[1]
     kernel = functools.partial(
         _bwd_kernel, ts=ts, tiles_x=tiles_x,
         alpha_cut=alpha_cut, alpha_clamp=alpha_clamp,
@@ -211,14 +233,14 @@ def _run_bwd(xy_t, con_t, op_t, feat, g_out, g_tf, ts, tiles_x, cfg_tuple):
         kernel,
         grid=(T_tiles,),
         in_specs=[_block((2, M)), _block((3, M)), _block((1, M)),
-                  _block((M, F)), _block((P, F)), _block((1, P))],
+                  _block((F, M)), _block((P, F)), _block((1, P))],
         out_specs=[_block((2, M)), _block((3, M)), _block((1, M)),
-                   _block((M, F))],
+                   _block((F, M))],
         out_shape=[
             jax.ShapeDtypeStruct((T_tiles, 2, M), jnp.float32),
             jax.ShapeDtypeStruct((T_tiles, 3, M), jnp.float32),
             jax.ShapeDtypeStruct((T_tiles, 1, M), jnp.float32),
-            jax.ShapeDtypeStruct((T_tiles, M, F), jnp.float32),
+            jax.ShapeDtypeStruct((T_tiles, F, M), jnp.float32),
         ],
         interpret=_should_interpret(),
     )(xy_t, con_t, op_t, feat, g_out, g_tf)
@@ -245,22 +267,36 @@ def _vjp_bwd(ts, tiles_x, cfg_tuple, res, cts):
 _blend_core.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def blend_tiles_rows(xy_rows, con_rows, op_rows, feat_rows, ts, tiles_x,
+                     cfg_tuple):
+    """Row-layout entry point: every per-splat quantity is splat-minor.
+
+    Args:
+      xy_rows:   [T, 2, M]
+      con_rows:  [T, 3, M]
+      op_rows:   [T, 1, M] (0 for invalid slots)
+      feat_rows: [T, F, M]
+    Returns:
+      out [T, P, F], t_final [T, P], n_touched [T, M] (int32).
+    """
+    out, tf, touched = _blend_core(
+        xy_rows, con_rows, op_rows, feat_rows, ts, tiles_x, cfg_tuple
+    )
+    return out, tf[:, 0, :], touched[:, 0, :]
+
+
 def blend_tiles_pallas(xy, con, op, feat, ts, tiles_x, cfg_tuple):
-    """Per-tile compositing of pre-gathered splat parameters.
+    """Splat-major compatibility wrapper (see blend_tiles_rows).
 
     Args:
       xy:   [T, M, 2] gathered 2D means
       con:  [T, M, 3] gathered conics
       op:   [T, M] gathered opacities (0 for invalid slots)
       feat: [T, M, F] gathered blend features
-      ts, tiles_x: tile geometry (static)
-      cfg_tuple: (alpha_cut, alpha_clamp, visibility_min_T), static floats
     Returns:
-      out [T, P, F], t_final [T, P], n_touched [T, M] (int32,
-      non-differentiable).
+      out [T, P, F], t_final [T, P], n_touched [T, M] (int32).
     """
-    out, tf, touched = _blend_core(
+    return blend_tiles_rows(
         jnp.swapaxes(xy, 1, 2), jnp.swapaxes(con, 1, 2), op[:, None, :],
-        feat, ts, tiles_x, cfg_tuple,
+        jnp.swapaxes(feat, 1, 2), ts, tiles_x, cfg_tuple,
     )
-    return out, tf[:, 0, :], touched[:, 0, :]

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from gslam_tpu.core.transforms import PoseDelta, pose_matrix, invert_se3, HIGH
 from gslam_tpu.mapping.gaussians import GaussianMap
-from gslam_tpu.opt.lbfgs import lbfgs
+from gslam_tpu.opt.lbfgs_compact import warmup_lbfgs
 from gslam_tpu.ops.losses import (
     apply_exposure, masked_depth_l1, tracking_photometric,
 )
@@ -43,6 +43,7 @@ class TrackingConfig:
     use_gt_depths: bool = False
     depth_loss_weight: float = 0.01
     bin_radius_margin: float = 1.5  # footprint inflation for bin reuse
+    fused: bool = True  # per-tile fused projection+blend hot path
     render: RenderConfig = RenderConfig()
 
 
@@ -89,6 +90,16 @@ def track_frame(
         radius_scale=cfg.bin_radius_margin,
     )
 
+    if cfg.fused:
+        # Pre-gather pose-independent per-tile rows once; each evaluation is
+        # then per-tile projection + the Pallas blend, with the pose gradient
+        # a pure reduction (no gathers/scatters in the hot loop).
+        from gslam_tpu.ops.track_fused import (
+            gather_tracking_tiles, render_tracking_fused,
+        )
+
+        tiles = gather_tracking_tiles(gmap, bins)
+
     def unpack(x):
         pose = pose_matrix(PoseDelta(base_pose, x[:6], x[6:9]))
         exposure = x[9:11] if learn_exposure else init_exposure
@@ -96,52 +107,41 @@ def track_frame(
 
     def loss_fn(x):
         pose, exposure = unpack(x)
-        out = render(
-            **gmap.render_kwargs(),
-            viewmats=pose[None], Ks=K[None],
-            width=width, height=height, cfg=cfg.render, bins=bins,
-        )
-        rgb = apply_exposure(out.rgb[0], exposure)
+        if cfg.fused:
+            rgb_img, depth_img, beta_img, _alpha = render_tracking_fused(
+                tiles, pose, K, width, height, cfg.render
+            )
+        else:
+            out = render(
+                **gmap.render_kwargs(),
+                viewmats=pose[None], Ks=K[None],
+                width=width, height=height, cfg=cfg.render, bins=bins,
+            )
+            rgb_img, depth_img, beta_img = out.rgb[0], out.depth[0], out.beta[0]
+        rgb = apply_exposure(rgb_img, exposure)
         loss = tracking_photometric(
-            rgb, gt_img, out.beta[0], cfg.photometric_loss
+            rgb, gt_img, beta_img, cfg.photometric_loss
         )
         if cfg.use_gt_depths and gt_depth is not None:
             loss = loss + cfg.depth_loss_weight * masked_depth_l1(
-                out.depth[0:1], gt_depth[None]
+                depth_img[None], gt_depth[None]
             )
         return loss
 
     x0 = jnp.concatenate([jnp.zeros(9), init_exposure])
 
-    # Adam warm-up (reference does 10 plain steps before LBFGS,
-    # frontend.py:651-656).
-    def warm_step(carry, _):
-        x, m, v, t = carry
-        f, g = jax.value_and_grad(loss_fn)(x)
-        t = t + 1
-        m = 0.9 * m + 0.1 * g
-        v = 0.999 * v + 0.001 * g * g
-        mhat = m / (1 - 0.9**t)
-        vhat = v / (1 - 0.999**t)
-        x = x - cfg.pose_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
-        return (x, m, v, t), f
-
-    (x, _, _, _), _ = jax.lax.scan(
-        warm_step,
-        (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), jnp.float32(0.0)),
-        None,
-        length=cfg.warmup_steps,
-    )
-
-    res = lbfgs(
-        loss_fn, x,
+    # Adam warm-up + L-BFGS in one single-evaluation-site loop (the render
+    # subgraph appears once in the executable; see opt/lbfgs_compact.py).
+    # Reference semantics: 10 plain warm-up steps then LBFGS(strong_wolfe)
+    # at the pose lr (frontend.py:604-658).
+    x, f, n_evals = warmup_lbfgs(
+        loss_fn, x0,
+        warmup_steps=cfg.warmup_steps,
         max_iter=cfg.lbfgs_max_iter,
         max_eval=cfg.lbfgs_max_eval,
         history=cfg.lbfgs_history,
         lr=cfg.pose_lr,
+        warmup_lr=cfg.pose_lr,
     )
-    pose, exposure = unpack(res.x)
-    return TrackResult(
-        pose=pose, exposure=exposure, loss=res.f,
-        n_evals=res.n_evals + cfg.warmup_steps,
-    )
+    pose, exposure = unpack(x)
+    return TrackResult(pose=pose, exposure=exposure, loss=f, n_evals=n_evals)

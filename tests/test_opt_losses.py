@@ -176,3 +176,56 @@ def test_knn(rng):
     np.testing.assert_allclose(d, ref, atol=2e-3)
     s = np.asarray(mean_knn_scale(pts, 4))
     np.testing.assert_allclose(s, ref[:, 1:].mean(-1), atol=2e-3)
+
+
+def test_warmup_lbfgs_quadratic():
+    from gslam_tpu.opt.lbfgs_compact import warmup_lbfgs
+
+    A = jnp.diag(jnp.array([1.0, 10.0, 100.0]))
+    b = jnp.array([1.0, -2.0, 3.0])
+    x, f, ne = warmup_lbfgs(
+        lambda x: 0.5 * x @ A @ x - b @ x, jnp.zeros(3),
+        warmup_steps=0, max_iter=50, max_eval=100,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(np.asarray(A), np.asarray(b)), atol=1e-3
+    )
+
+
+def test_warmup_lbfgs_rosenbrock():
+    from gslam_tpu.opt.lbfgs_compact import warmup_lbfgs
+
+    x, f, ne = warmup_lbfgs(
+        lambda x: (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2,
+        jnp.array([-1.2, 1.0]), warmup_steps=0, max_iter=100, max_eval=400,
+    )
+    assert float(f) < 1e-6, (float(f), np.asarray(x))
+
+
+def test_warmup_lbfgs_matches_torch(rng):
+    import torch
+    from gslam_tpu.opt.lbfgs_compact import warmup_lbfgs
+
+    W = rng.normal(size=(32, 9)).astype(np.float32)
+    y = rng.normal(size=32).astype(np.float32)
+    x, f, ne = warmup_lbfgs(
+        lambda x: jnp.sum((jnp.tanh(jnp.asarray(W) @ x) - jnp.asarray(y)) ** 2),
+        jnp.zeros(9), warmup_steps=0, max_iter=20, max_eval=25, history=5,
+        lr=1.0,
+    )
+    xt = torch.zeros(9, requires_grad=True)
+    opt = torch.optim.LBFGS([xt], history_size=5, line_search_fn="strong_wolfe",
+                            max_iter=20)
+
+    def closure():
+        opt.zero_grad()
+        loss = ((torch.tanh(torch.tensor(W) @ xt) - torch.tensor(y)) ** 2).sum()
+        loss.backward()
+        return loss
+
+    opt.step(closure)
+    with torch.no_grad():
+        f_torch = float(
+            ((torch.tanh(torch.tensor(W) @ xt) - torch.tensor(y)) ** 2).sum()
+        )
+    assert float(f) <= f_torch * 1.10 + 1e-4, (float(f), f_torch)
