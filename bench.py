@@ -72,7 +72,9 @@ def main():
     res = track_frame(gmap, jnp.eye(4), jnp.zeros(2), gt_imgs[0], K, W, H, tcfg)
     jax.block_until_ready(res.pose)
 
-    # timed tracking loop with constant-motion-style chaining
+    # timed tracking loop with constant-motion-style chaining (async
+    # pipelined, the online-throughput number: dispatches overlap device
+    # execution exactly as in the streaming SLAM loop)
     t0 = time.time()
     prev_pose = jnp.eye(4)
     exposure = jnp.zeros(2)
@@ -85,6 +87,19 @@ def main():
     dt = time.time() - t0
     fps = n_frames / dt
 
+    # synchronous per-frame latency (block after every frame: includes the
+    # full host->device dispatch round-trip per call)
+    t0 = time.time()
+    prev_pose_s = jnp.eye(4)
+    exposure_s = jnp.zeros(2)
+    for i in range(n_frames):
+        res = track_frame(
+            gmap, prev_pose_s, exposure_s, gt_imgs[i], K, W, H, tcfg
+        )
+        prev_pose_s, exposure_s = res.pose, res.exposure
+        jax.block_until_ready(prev_pose_s)
+    dt_sync = time.time() - t0
+
     # sanity: final pose close to final gt pose
     pose_err = float(jnp.linalg.norm(prev_pose[:3, 3] - poses[-1][:3, 3]))
 
@@ -95,6 +110,9 @@ def main():
         "vs_baseline": round(fps / 30.0, 4),
         "detail": {
             "mean_track_ms": round(1e3 * dt / n_frames, 2),
+            "sync_track_ms": round(1e3 * dt_sync / n_frames, 2),
+            "sync_fps": round(n_frames / dt_sync, 2),
+            "n_evals_last_frame": int(res.n_evals),
             "final_pose_err_m": round(pose_err, 5),
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),

@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # This codebase runs with the platform-default matmul precision (bfloat16 on
 # TPU MXU). Geometry math is precision-critical, so every matmul in this
@@ -23,7 +24,12 @@ import jax.numpy as jnp
 HIGH = jax.lax.Precision.HIGHEST
 
 # The 6D identity rotation (two orthonormal columns of I).
-IDENTITY_6D = jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], dtype=jnp.float32)
+# NumPy on purpose: a module-level jnp array is an eagerly-committed device
+# buffer, and capturing such a buffer inside a jitted program flips
+# XLA:TPU (axon) into a ~200x slower compilation of the program's scatters
+# (measured 1 ms -> 197 ms on the binning pipeline; scripts/profile_bins15/
+# 16.py). A NumPy constant converts at trace time, which is safe.
+IDENTITY_6D = np.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], dtype=np.float32)
 
 
 def _normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:

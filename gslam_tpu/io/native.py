@@ -25,7 +25,18 @@ def _find_lib():
     _TRIED = True
     cand = Path(__file__).resolve().parents[2] / "native" / "libgslam_native.so"
     if not cand.exists():
-        return None
+        # The .so is not committed; build it in-tree at first use.
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", str(cand.parent)], capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+        if not cand.exists():
+            return None
     lib = ctypes.CDLL(str(cand))
     lib.gs_png_info.argtypes = [ctypes.c_char_p] + [
         ctypes.POINTER(ctypes.c_int)

@@ -39,7 +39,7 @@ from gslam_tpu.ops.losses import (
     apply_exposure, edge_aware_depth_tv, isotropic_scale_loss,
     mapping_photometric, masked_depth_l1,
 )
-from gslam_tpu.ops.rasterize import RenderConfig, render
+from gslam_tpu.ops.rasterize import RenderConfig, render_impl
 from gslam_tpu.ops.ssim import ssim_per_image
 
 
@@ -122,7 +122,7 @@ def _window_loss(
 ):
     g = gmap.with_trainable(gmap_trainable)
     viewmats = pose_matrix(PoseDelta(pose_base, pose_vec[:, :6], pose_vec[:, 6:9]))
-    out = render(
+    out = render_impl(
         **g.render_kwargs(),
         viewmats=viewmats, Ks=Ks, width=width, height=height,
         bg_rgb=jnp.asarray(cfg.background, jnp.float32),
@@ -133,7 +133,8 @@ def _window_loss(
         rendered, gt_imgs, out.beta, active_gs=cfg.active_gs, cam_mask=cam_mask
     )
 
-    visible = jnp.sum((out.radii > 0).astype(jnp.int32), axis=0) > 0
+    radii_m = jnp.where(cam_mask[:, None], out.radii, 0)
+    visible = jnp.sum((radii_m > 0).astype(jnp.int32), axis=0) > 0
     iso = isotropic_scale_loss(g.log_scales, visible & g.alive)
 
     ssim_vals = ssim_per_image(out.rgb, gt_imgs)
@@ -205,31 +206,28 @@ def mapping_step(
     step = cfg.pose_lr * (mu / (1 - 0.9**t)) / (jnp.sqrt(nu / (1 - 0.999**t)) + 1e-8)
     new_vec = jnp.where(upd_mask[:, None], pose_vec - step, pose_vec)
 
+    # Padded window slots read slot 0 via safe_idx; route their WRITES out
+    # of range (mode='drop') so the stale slot-0 read never races the fresh
+    # write when keyframe 0 is genuinely in the window (XLA scatter with
+    # duplicate indices is order-undefined).
+    write_idx = jnp.where(window_mask, window_idx, kf.capacity)
+    upd_idx = jnp.where(upd_mask, window_idx, kf.capacity)
     kf = kf._replace(
-        d_rot6=kf.d_rot6.at[safe_idx].set(
-            jnp.where(window_mask[:, None], new_vec[:, :6], kf.d_rot6[safe_idx])
-        ),
-        d_t=kf.d_t.at[safe_idx].set(
-            jnp.where(window_mask[:, None], new_vec[:, 6:9], kf.d_t[safe_idx])
-        ),
-        est_depths=kf.est_depths.at[safe_idx].set(
-            jnp.where(
-                window_mask[:, None, None], out.depth, kf.est_depths[safe_idx]
-            )
-        ),
+        d_rot6=kf.d_rot6.at[write_idx].set(new_vec[:, :6], mode="drop"),
+        d_t=kf.d_t.at[write_idx].set(new_vec[:, 6:9], mode="drop"),
+        est_depths=kf.est_depths.at[write_idx].set(out.depth, mode="drop"),
     )
     pose_opt = PoseAdamState(
-        mu=pose_opt.mu.at[safe_idx].set(
-            jnp.where(upd_mask[:, None], mu, pose_opt.mu[safe_idx])
-        ),
-        nu=pose_opt.nu.at[safe_idx].set(
-            jnp.where(upd_mask[:, None], nu, pose_opt.nu[safe_idx])
-        ),
-        count=pose_opt.count.at[safe_idx].set(count),
+        mu=pose_opt.mu.at[upd_idx].set(mu, mode="drop"),
+        nu=pose_opt.nu.at[upd_idx].set(nu, mode="drop"),
+        count=pose_opt.count.at[upd_idx].set(count, mode="drop"),
     )
 
-    # per-iteration opacity decay for multi-view-visible splats
-    seen = jnp.sum((out.radii > 0).astype(jnp.int32), axis=0) > 1
+    # per-iteration opacity decay for multi-view-visible splats; padded
+    # cameras re-render slot 0's pose, so mask them out of the view count
+    radii_m = jnp.where(window_mask[:, None], out.radii, 0)
+    n_touched_m = jnp.where(window_mask[:, None], out.n_touched, 0)
+    seen = jnp.sum((radii_m > 0).astype(jnp.int32), axis=0) > 1
     gmap = gmap._replace(
         logit_opacities=jnp.where(
             seen & gmap.alive,
@@ -241,8 +239,8 @@ def mapping_step(
     aux = MappingAux(
         total_loss=total_loss,
         photometric_loss=photo,
-        radii=out.radii,
-        n_touched=out.n_touched,
+        radii=radii_m,
+        n_touched=n_touched_m,
         depthmaps=out.depth,
         means2d_grad=g_probe,
         n_pairs=out.n_pairs,
@@ -277,7 +275,7 @@ def pose_refinement_lbfgs(
         x_eff = x0 + (x - x0) * free  # frozen coords pinned to initial values
         vec = x_eff.reshape(Wn, 9)
         viewmats = pose_matrix(PoseDelta(pose_base, vec[:, :6], vec[:, 6:9]))
-        out = render(
+        out = render_impl(
             **gmap.render_kwargs(),
             viewmats=viewmats, Ks=Ks, width=width, height=height,
             bg_rgb=jnp.asarray(cfg.background, jnp.float32), cfg=cfg.render,
@@ -323,7 +321,7 @@ def keyframe_decision_stats(
     height: int,
     cfg: MapConfig = MapConfig(),
 ) -> KeyframeStats:
-    out = render(
+    out = render_impl(
         **gmap.render_kwargs(),
         viewmats=jnp.stack([new_pose, prev_pose]),
         Ks=jnp.tile(K[None], (2, 1, 1)),
@@ -370,7 +368,7 @@ def render_view_stats(
     cfg: MapConfig = MapConfig(),
 ) -> ViewStats:
     """Single-view render + per-splat stats (pruning pass / sync payload)."""
-    out = render(
+    out = render_impl(
         **gmap.render_kwargs(),
         viewmats=pose[None], Ks=K[None], width=width, height=height,
         bg_rgb=jnp.asarray(cfg.background, jnp.float32), cfg=cfg.render,
@@ -391,7 +389,7 @@ def visibility_pass(
     cfg: MapConfig = MapConfig(),
 ) -> jax.Array:
     """[B, cap] visibility (radii > 0) for covisibility/pose-graph checks."""
-    out = render(
+    out = render_impl(
         **gmap.render_kwargs(),
         viewmats=poses, Ks=jnp.tile(K[None], (poses.shape[0], 1, 1)),
         width=width, height=height,

@@ -95,17 +95,23 @@ def bin_gaussians(
     pair_depth = jnp.full((max_pairs,), jnp.inf, dtype=jnp.float32)
     pair_id = jnp.zeros((max_pairs,), dtype=jnp.int32)
 
+    # unique_indices=True is load-bearing: slot indices are unique by
+    # construction (dense cumsum packing; all dropped entries share the
+    # out-of-range sentinel), and without the hint XLA:TPU picks a slow
+    # scatter path — measured 60 ms vs 0.1 ms per scatter at 12.8M updates.
     flat_idx = idx.reshape(-1)
     pair_tile = pair_tile.at[flat_idx].set(
         jnp.broadcast_to(tile, pair_ok.shape).reshape(-1).astype(jnp.int32),
-        mode="drop",
+        mode="drop", unique_indices=True,
     )
     depth_b = jnp.broadcast_to(depths[:, None], pair_ok.shape).reshape(-1)
-    pair_depth = pair_depth.at[flat_idx].set(depth_b.astype(jnp.float32), mode="drop")
+    pair_depth = pair_depth.at[flat_idx].set(
+        depth_b.astype(jnp.float32), mode="drop", unique_indices=True
+    )
     gid = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], pair_ok.shape
     ).reshape(-1)
-    pair_id = pair_id.at[flat_idx].set(gid, mode="drop")
+    pair_id = pair_id.at[flat_idx].set(gid, mode="drop", unique_indices=True)
 
     sorted_tile, _sorted_depth, sorted_id = jax.lax.sort(
         (pair_tile, pair_depth, pair_id), dimension=-1, num_keys=2

@@ -188,11 +188,18 @@ def _render_single_camera(
 
     if bins is None:
         max_pairs = int(cfg.pairs_per_gaussian * n)
-        bins = bin_gaussians(
+        # optimization_barrier: materialize projection outputs so XLA does
+        # not fuse projection math into the pair-scatter operands — that
+        # fusion degrades the scatter ~4000x (see compute_bins and
+        # scripts/profile_bins9.py).
+        b_m2d, b_radii, b_depths, b_valid = jax.lax.optimization_barrier((
             jax.lax.stop_gradient(means2d),
             proj.radii,
             jax.lax.stop_gradient(proj.depths),
             proj.valid,
+        ))
+        bins = bin_gaussians(
+            b_m2d, b_radii, b_depths, b_valid,
             ts, tiles_x, tiles_y, max_pairs, cfg.tile_capacity, cfg.max_span,
         )
 
@@ -251,7 +258,12 @@ class CameraBins(NamedTuple):
     n_pairs: jax.Array  # [C]
 
 
-@partial(jax.jit, static_argnames=("width", "height", "cfg", "radius_scale"))
+# NOT @jit: compute_bins is called from inside already-jitted programs
+# (track_frame), and a NESTED jit call boundary makes XLA:TPU compile the
+# pair scatters ~100x slower (193 ms vs 1.4 ms at N=50k, measured by
+# scripts/profile_bins11-13.py: the verbatim inlined body is fast, the
+# jit[name=compute_bins]-wrapped identical body is slow). Eager callers
+# should use compute_bins_jit.
 def compute_bins(
     means: jax.Array,
     quats: jax.Array,
@@ -281,8 +293,16 @@ def compute_bins(
             near=cfg.near, far=cfg.far, eps2d=cfg.eps2d,
             radius_clip=cfg.radius_clip, alive=alive,
         )
+        # Materialize projection outputs before binning. Without this
+        # barrier XLA:TPU fuses the projection math into the pair-scatter
+        # operands and the scatter degrades ~4000x (194 ms vs 0.05 ms
+        # measured at N=50k); with materialized inputs it picks the fast
+        # path. scripts/profile_bins7/9.py reproduce both sides.
+        m2d, radii, depths, valid = jax.lax.optimization_barrier(
+            (proj.means2d, proj.radii * radius_scale, proj.depths, proj.valid)
+        )
         b = bin_gaussians(
-            proj.means2d, proj.radii * radius_scale, proj.depths, proj.valid,
+            m2d, radii, depths, valid,
             ts, tiles_x, tiles_y, int(cfg.pairs_per_gaussian * n),
             cfg.tile_capacity, cfg.max_span,
         )
@@ -292,11 +312,17 @@ def compute_bins(
     return CameraBins(tile_gauss=tg, tile_mask=tm, n_pairs=np_)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "cfg"),
-)
-def render(
+# Jitted entry point for eager (host-level) callers only; see the note on
+# compute_bins for why jitted code must call the undecorated version.
+compute_bins_jit = partial(
+    jax.jit, static_argnames=("width", "height", "cfg", "radius_scale")
+)(compute_bins)
+
+
+# NOT @jit — same nested-jit scatter deoptimization as compute_bins (see
+# note there): jitted callers (mapping_step, the dp step) must trace this
+# body inline. The jitted public entry point is `render` below.
+def render_impl(
     means: jax.Array,  # [N, 3]
     quats: jax.Array,  # [N, 4]
     log_scales: jax.Array,  # [N, 3]
@@ -358,3 +384,9 @@ def render(
         radii=radii, means2d=means2d, depths=depths,
         n_touched=n_touched, n_pairs=n_pairs,
     )
+
+
+# Jitted public entry point for eager (host-level) callers.
+render = partial(jax.jit, static_argnames=("width", "height", "cfg"))(
+    render_impl
+)

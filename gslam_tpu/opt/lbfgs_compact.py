@@ -55,6 +55,7 @@ class _Carry(NamedTuple):
     t_prev: jax.Array
     f_prev: jax.Array
     d_prev: jax.Array
+    g_prev: jax.Array  # gradient at the previous trial point
     # zoom bracket
     t_lo: jax.Array
     f_lo: jax.Array
@@ -114,12 +115,11 @@ def _direction(c: _Carry, history: int) -> jax.Array:
     return jax.lax.cond(c.hist == 0, first, recur, None)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("loss_fn", "warmup_steps", "max_iter", "max_eval",
-                     "history", "fixed_trip"),
-)
-def warmup_lbfgs(
+# NOT @jit: called from inside track_frame's jit, and a nested jit call
+# boundary deoptimizes XLA:TPU scatter compilation program-wide (see
+# gslam_tpu/ops/rasterize.py compute_bins note). Jitted alias below for
+# eager callers.
+def warmup_lbfgs_impl(
     loss_fn: Callable[[jax.Array], jax.Array],
     x0: jax.Array,
     warmup_steps: int = 10,
@@ -148,7 +148,7 @@ def warmup_lbfgs(
         mode=jnp.array(WARMUP if warmup_steps > 0 else INIT, jnp.int32),
         x=x0, f=jnp.array(jnp.inf), g=jnp.zeros(dim),
         d=jnp.zeros(dim), dd0=zero, t=zero,
-        t_prev=zero, f_prev=zero, d_prev=zero,
+        t_prev=zero, f_prev=zero, d_prev=zero, g_prev=jnp.zeros(dim),
         t_lo=zero, f_lo=zero, dd_lo=zero, g_lo=jnp.zeros(dim),
         t_hi=zero, f_hi=zero, dd_hi=zero,
         insuf=jnp.array(False),
@@ -201,7 +201,7 @@ def warmup_lbfgs(
         return c._replace(
             mode=jnp.where(done, DONE, TRIAL).astype(jnp.int32),
             d=d, dd0=dd0, t=t_init,
-            t_prev=jnp.zeros(()), f_prev=f_new, d_prev=dd0,
+            t_prev=jnp.zeros(()), f_prev=f_new, d_prev=dd0, g_prev=g_new,
             it=c.it + 1,
         )
 
@@ -236,7 +236,8 @@ def warmup_lbfgs(
             def to_zoom_pc(c):  # bracket [prev, cur]
                 return c._replace(
                     mode=jnp.array(ZOOM, jnp.int32),
-                    t_lo=c.t_prev, f_lo=c.f_prev, dd_lo=c.d_prev, g_lo=c.g,
+                    t_lo=c.t_prev, f_lo=c.f_prev, dd_lo=c.d_prev,
+                    g_lo=c.g_prev,
                     t_hi=c.t, f_hi=f, dd_hi=dd,
                 )
 
@@ -256,7 +257,7 @@ def warmup_lbfgs(
                 t_new = _cubic_min(c.t_prev, c.f_prev, c.d_prev,
                                    c.t, f, dd, lo, hi)
                 return c._replace(
-                    t_prev=c.t, f_prev=f, d_prev=dd, t=t_new,
+                    t_prev=c.t, f_prev=f, d_prev=dd, g_prev=g, t=t_new,
                 )
 
             branch = jnp.where(
@@ -346,3 +347,11 @@ def warmup_lbfgs(
 
         out = jax.lax.while_loop(cond_fn, body, init)
     return out.x, out.f, out.n_evals
+
+
+# Jitted public entry point for eager (host-level) callers.
+warmup_lbfgs = partial(
+    jax.jit,
+    static_argnames=("loss_fn", "warmup_steps", "max_iter", "max_eval",
+                     "history", "fixed_trip"),
+)(warmup_lbfgs_impl)

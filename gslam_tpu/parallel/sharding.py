@@ -30,7 +30,7 @@ from gslam_tpu.mapping.backend_ops import MapConfig
 from gslam_tpu.mapping.gaussians import GaussianMap
 from gslam_tpu.mapping.optimizer import MaskedAdamState, adam_step
 from gslam_tpu.ops.losses import apply_exposure, mapping_photometric
-from gslam_tpu.ops.rasterize import render
+from gslam_tpu.ops.rasterize import render_impl
 from gslam_tpu.ops.ssim import ssim_per_image
 
 
@@ -69,7 +69,7 @@ def dp_mapping_train_step(
         viewmats = pose_matrix(
             PoseDelta(pose_base, pose_vec[:, :6], pose_vec[:, 6:9])
         )
-        out = render(
+        out = render_impl(
             **g.render_kwargs(),
             viewmats=viewmats, Ks=Ks, width=width, height=height,
             bg_rgb=jnp.asarray(cfg.background, jnp.float32), cfg=cfg.render,

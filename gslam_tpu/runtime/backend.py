@@ -116,6 +116,12 @@ class BackendActor:
         self._cfg_noreg = dataclasses.replace(cfg, depth_tv_weight=0.0)
         self.last_sync_depth = None
         self.last_sync_rgb = None
+        self.last_sync_alpha = None
+        self.last_sync_pose = None
+        # overflow telemetry: max pair-buffer fill and count of saturated
+        # mapping iterations (VERDICT r1: silent tile/pair truncation)
+        self.max_pairs_seen = 0
+        self.n_pair_overflows = 0
 
     # ---------------- window policy ----------------
 
@@ -181,7 +187,18 @@ class BackendActor:
                 )
                 self.gmap, self.opt_state = res.gmap, res.opt_state
                 prune = False
-            # plateau check syncs one scalar per iteration
+            # plateau + overflow checks sync two scalars per iteration
+            n_pairs = int(jnp.max(aux.n_pairs))
+            self.max_pairs_seen = max(self.max_pairs_seen, n_pairs)
+            if n_pairs >= int(cfg.render.pairs_per_gaussian * self.capacity):
+                self.n_pair_overflows += 1
+                if self.n_pair_overflows in (1, 10, 100, 1000):
+                    logger.warning(
+                        "pair buffer saturated (%d pairs, %d times so far): "
+                        "tile lists are truncating; raise "
+                        "render.pairs_per_gaussian or capacity",
+                        n_pairs, self.n_pair_overflows,
+                    )
             if stopper.stop(float(aux.photometric_loss)):
                 self.pause_map_optim = True
                 break
@@ -224,6 +241,8 @@ class BackendActor:
         self.gmap = pruning.apply_prune(self.gmap, remove)
         self.last_sync_depth = vs.depth
         self.last_sync_rgb = vs.rgb
+        self.last_sync_alpha = vs.alpha
+        self.last_sync_pose = np.asarray(pose)
 
     def refine_poses(self):
         if len(self.kf_order) < 2:
@@ -386,6 +405,8 @@ class BackendActor:
         )
         self.last_sync_depth = vs.depth
         self.last_sync_rgb = vs.rgb
+        self.last_sync_alpha = vs.alpha
+        self.last_sync_pose = np.asarray(pose)
 
     def sync_payload(self) -> SyncPayload:
         # Copy out of the donated buffers: the next mapping_step invalidates
@@ -401,6 +422,8 @@ class BackendActor:
             reference_depth=self.last_sync_depth,
             reference_rgb=self.last_sync_rgb,
             pose_graph={k: set(v) for k, v in self.pose_graph.items()},
+            reference_alpha=self.last_sync_alpha,
+            reference_pose=self.last_sync_pose,
         )
 
     # ---------------- top-level message handling ----------------

@@ -25,22 +25,32 @@ logger = logging.getLogger("gslam_tpu.frontend")
 
 
 class FrontendActor:
-    def __init__(self, cfg: TrackingConfig, width: int, height: int):
+    def __init__(self, cfg: TrackingConfig, width: int, height: int, sink=None):
+        from gslam_tpu.viz.visualization import NullSink
+
         self.cfg = cfg
         self.width, self.height = width, height
         self.gmap = None  # latest synced snapshot
         self.keyframe_poses: dict[int, np.ndarray] = {}
         self.pose_graph: dict[int, set] = {}
         self.reference_depth = None
+        self.reference_rgb = None
+        self.reference_alpha = None
+        self.reference_pose = None
         self.frames: list[Frame] = []
         self.track_times: list[float] = []
         self.losses: list[float] = []
+        self.sink = sink if sink is not None else NullSink()
 
     def apply_sync(self, payload: SyncPayload):
         self.gmap = payload.gmap
         self.keyframe_poses = payload.keyframe_poses
         self.pose_graph = payload.pose_graph
         self.reference_depth = payload.reference_depth
+        self.reference_rgb = payload.reference_rgb
+        self.reference_alpha = payload.reference_alpha
+        self.reference_pose = payload.reference_pose
+        self.sink.log_splats(payload.gmap)
 
     def predict_pose(self) -> np.ndarray:
         if len(self.frames) == 0:
@@ -70,23 +80,74 @@ class FrontendActor:
             if (self.cfg.use_gt_depths and frame.gt_depth is not None)
             else None
         )
-        res = track_frame(
-            self.gmap,
-            jnp.asarray(prior),
-            init_exposure,
-            jnp.asarray(frame.image),
-            frame.camera.K,
-            self.width,
-            self.height,
-            self.cfg,
-            gt_depth=gt_depth,
+        use_warp = (
+            self.cfg.method == "warp"
+            and self.reference_depth is not None
+            and self.reference_rgb is not None
+            and self.reference_pose is not None
         )
-        frame.est_pose = np.asarray(res.pose)
-        frame.exposure = np.asarray(res.exposure)
-        self.track_times.append(time.time() - t0)
-        self.losses.append(float(res.loss))
+        if use_warp:
+            # Dense warp alignment against the synced keyframe render
+            # (reference method='warp'; frontend.py:219-220,521-569).
+            from gslam_tpu.tracking.warp import warp_track
+
+            pose, exposure, loss = warp_track(
+                jnp.asarray(self.reference_pose),
+                jnp.asarray(prior),
+                jnp.asarray(self.reference_rgb),
+                jnp.asarray(self.reference_depth),
+                jnp.asarray(frame.image),
+                jnp.asarray(frame.camera.K),
+                init_exposure,
+                self.cfg,
+                ref_alpha=(
+                    jnp.asarray(self.reference_alpha)
+                    if self.reference_alpha is not None else None
+                ),
+            )
+            frame.est_pose = np.asarray(pose)
+            frame.exposure = np.asarray(exposure)
+            final_loss = float(loss)
+        else:
+            res = track_frame(
+                self.gmap,
+                jnp.asarray(prior),
+                init_exposure,
+                jnp.asarray(frame.image),
+                frame.camera.K,
+                self.width,
+                self.height,
+                self.cfg,
+                gt_depth=gt_depth,
+            )
+            frame.est_pose = np.asarray(res.pose)
+            frame.exposure = np.asarray(res.exposure)
+            final_loss = float(res.loss)
+        dt = time.time() - t0
+        self.track_times.append(dt)
+        self.losses.append(final_loss)
+        self._log_frame(frame, final_loss, dt)
         self.frames.append(frame.strip())
         return frame
+
+    def _log_frame(self, frame: Frame, loss: float, dt: float):
+        """Stream per-frame telemetry; image sinks get a fresh render of the
+        final pose (reference log_frame; visualization.py:14-82)."""
+        rendered = depth = beta = None
+        if self.sink.wants_images and self.gmap is not None:
+            from gslam_tpu.ops.rasterize import render
+
+            out = render(
+                **self.gmap.render_kwargs(),
+                viewmats=jnp.asarray(frame.est_pose)[None],
+                Ks=jnp.asarray(frame.camera.K)[None],
+                width=self.width, height=self.height, cfg=self.cfg.render,
+            )
+            rendered, depth, beta = out.rgb[0], out.depth[0], out.beta[0]
+        self.sink.log_frame(
+            frame, rendered=rendered, depth=depth, beta=beta,
+            loss=loss, tracking_time=dt,
+        )
 
     def trajectory(self) -> tuple[np.ndarray, np.ndarray]:
         """(gt_positions, est_positions) camera centers for frames with gt."""

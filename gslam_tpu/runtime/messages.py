@@ -31,3 +31,5 @@ class SyncPayload(NamedTuple):
     reference_depth: object  # [H, W] rendered depth of the latest keyframe
     reference_rgb: object  # [H, W, 3]
     pose_graph: dict  # frame_idx -> set(frame_idx)
+    reference_alpha: object = None  # [H, W] rendered alpha of the latest kf
+    reference_pose: object = None  # [4, 4] w2c of the latest keyframe

@@ -30,7 +30,7 @@ from gslam_tpu.mapping.backend_ops import MapConfig
 from gslam_tpu.runtime.backend import BackendActor
 from gslam_tpu.runtime.frontend import FrontendActor
 from gslam_tpu.runtime.messages import FrontendMessage
-from gslam_tpu.runtime.checkpoint import save_map
+from gslam_tpu.runtime.checkpoint import save_checkpoint, save_map
 from gslam_tpu.tracking.track import TrackingConfig
 
 logger = logging.getLogger("gslam_tpu.system")
@@ -47,23 +47,31 @@ class SlamConfig:
     idle_opt_per_frame: int = 1  # idle optimization slices per frame (sync mode)
     checkpoint_every: int = 0  # frames; 0 = only at end
     eval_stride: int = 1  # evaluate PSNR on every k-th frame at the end
+    telemetry: str = "null"  # 'null' | 'disk' | 'rerun' | 'auto'
     seed: int = 0
     run_dir: str | None = None
 
 
 class SlamSystem:
     def __init__(self, cfg: SlamConfig, width: int, height: int):
+        from gslam_tpu.viz.visualization import make_sink
+
         self.cfg = cfg
-        self.frontend = FrontendActor(cfg.tracking, width, height)
+        self.run_dir = Path(cfg.run_dir) if cfg.run_dir else None
+        if self.run_dir:
+            self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.sink = make_sink(
+            cfg.telemetry, run_dir=self.run_dir,
+            run_name=self.run_dir.name if self.run_dir else "gslam_tpu",
+        )
+        self.frontend = FrontendActor(cfg.tracking, width, height, sink=self.sink)
         self.backend = BackendActor(
             cfg.mapping, width, height,
             capacity=cfg.capacity, kf_capacity=cfg.kf_capacity, seed=cfg.seed,
         )
         self.width, self.height = width, height
-        self.run_dir = Path(cfg.run_dir) if cfg.run_dir else None
-        if self.run_dir:
-            self.run_dir.mkdir(parents=True, exist_ok=True)
         self.n_keyframes_added = 0
+        self.start_index = 0  # set by checkpoint.restore_system on --resume
 
     # ------------- synchronous pipeline -------------
 
@@ -95,6 +103,8 @@ class SlamSystem:
         self._dataset = dataset
         if self.cfg.synchronous:
             for frame in iter(dataset):
+                if frame.index < self.start_index:
+                    continue  # already processed before --resume
                 self._process_frame_sync(frame)
                 if (
                     self.cfg.checkpoint_every
@@ -102,7 +112,7 @@ class SlamSystem:
                     and frame.index % self.cfg.checkpoint_every == 0
                     and frame.index > 0
                 ):
-                    save_map(self.run_dir / "splats.npz", self.backend.gmap)
+                    save_checkpoint(self.run_dir / "checkpoint.npz", self)
         else:
             self._run_threaded(dataset)
         wall = time.time() - t_start
@@ -157,7 +167,16 @@ class SlamSystem:
             if frame is None:
                 to_backend.put(None)
                 break
+            if frame.index < self.start_index:
+                continue
             frame = fe.track(frame)
+            # apply a sync that landed while tracking, so the NEXT track call
+            # uses the freshest map (was: applied one frame late)
+            try:
+                while True:
+                    fe.apply_sync(sync_box.get_nowait())
+            except queue.Empty:
+                pass
             kind = (
                 FrontendMessage.REQUEST_INIT
                 if len(fe.frames) == 1
@@ -192,6 +211,13 @@ class SlamSystem:
         if fe.track_times:
             metrics["mean_track_ms"] = float(np.mean(fe.track_times) * 1e3)
             metrics["tracking_fps"] = float(1.0 / np.mean(fe.track_times))
+            if len(fe.track_times) > 3:
+                # steady-state: skip the first frames that pay compilation
+                steady = fe.track_times[3:]
+                metrics["steady_track_ms"] = float(np.mean(steady) * 1e3)
+                metrics["steady_tracking_fps"] = float(1.0 / np.mean(steady))
+        metrics["max_pairs_seen"] = be.max_pairs_seen
+        metrics["n_pair_overflows"] = be.n_pair_overflows
 
         gt_t, est_t = fe.trajectory()
         if len(gt_t) >= 2:

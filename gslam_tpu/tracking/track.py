@@ -24,15 +24,16 @@ import jax.numpy as jnp
 
 from gslam_tpu.core.transforms import PoseDelta, pose_matrix, invert_se3, HIGH
 from gslam_tpu.mapping.gaussians import GaussianMap
-from gslam_tpu.opt.lbfgs_compact import warmup_lbfgs
+from gslam_tpu.opt.lbfgs_compact import warmup_lbfgs_impl
 from gslam_tpu.ops.losses import (
     apply_exposure, masked_depth_l1, tracking_photometric,
 )
-from gslam_tpu.ops.rasterize import RenderConfig, compute_bins, render
+from gslam_tpu.ops.rasterize import RenderConfig, compute_bins, render_impl
 
 
 @dataclasses.dataclass(frozen=True)
 class TrackingConfig:
+    method: str = "igs"  # 'igs' (splat render) | 'warp' (dense image warp)
     photometric_loss: str = "active-nerf"  # 'l1' | 'mse' | 'active-nerf'
     pose_lr: float = 0.002
     warmup_steps: int = 10
@@ -112,7 +113,7 @@ def track_frame(
                 tiles, pose, K, width, height, cfg.render
             )
         else:
-            out = render(
+            out = render_impl(
                 **gmap.render_kwargs(),
                 viewmats=pose[None], Ks=K[None],
                 width=width, height=height, cfg=cfg.render, bins=bins,
@@ -134,7 +135,7 @@ def track_frame(
     # subgraph appears once in the executable; see opt/lbfgs_compact.py).
     # Reference semantics: 10 plain warm-up steps then LBFGS(strong_wolfe)
     # at the pose lr (frontend.py:604-658).
-    x, f, n_evals = warmup_lbfgs(
+    x, f, n_evals = warmup_lbfgs_impl(
         loss_fn, x0,
         warmup_steps=cfg.warmup_steps,
         max_iter=cfg.lbfgs_max_iter,

@@ -80,10 +80,28 @@ def serve_viewer(gmap, width=640, height=480, port=8080, map_config=None):
                 elif state.target_type == "depth":
                     img = false_colormap(np.asarray(vs.depth))
                 else:
-                    nt = np.asarray(vs.n_touched).astype(np.float32)
-                    img = false_colormap(
-                        np.full((height, width), nt.max() and nt.mean())
+                    # Per-pixel n_touched visualization: re-render with each
+                    # splat's color set to its normalized touch count, so the
+                    # blended image shows which regions are dominated by
+                    # widely-visible splats. (The reference's own n_touched
+                    # target at backend.py:184-187 tiles a per-splat vector
+                    # and never forms a valid image; this is the intent.)
+                    from gslam_tpu.ops.rasterize import render as _render
+
+                    nt = jnp.asarray(vs.n_touched).astype(jnp.float32)
+                    norm = jnp.clip(nt / jnp.maximum(nt.max(), 1.0), 1e-4, 1 - 1e-4)
+                    fake_colors = jnp.log(norm / (1.0 - norm))  # logit
+                    out = _render(
+                        **{
+                            **gmap.render_kwargs(),
+                            "logit_colors": jnp.tile(
+                                fake_colors[:, None], (1, 3)
+                            ),
+                        },
+                        viewmats=jnp.asarray(w2c)[None], Ks=K[None],
+                        width=width, height=height, cfg=cfg.render,
                     )
+                    img = false_colormap(np.asarray(out.rgb[0, :, :, 0]))
                 client.scene.set_background_image(img, format="jpeg")
                 time.sleep(0.05)
 

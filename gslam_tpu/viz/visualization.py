@@ -38,7 +38,10 @@ def false_colormap(
 
 
 class TelemetrySink:
-    """Interface: log_frame / log_splats / log_scalar."""
+    """Interface: log_frame / log_splats / log_scalar. `wants_images` tells
+    the frontend whether to spend a render producing per-frame images."""
+
+    wants_images = False
 
     def log_frame(self, frame, rendered=None, depth=None, beta=None,
                   loss=None, tracking_time=None):
@@ -58,6 +61,8 @@ class NullSink(TelemetrySink):
 class DiskSink(TelemetrySink):
     """Dump renders/depth/uncertainty images per frame to a run directory
     (the reference's artifact dirs; frontend.py:104-111,332-354)."""
+
+    wants_images = True
 
     def __init__(self, run_dir):
         from pathlib import Path
@@ -92,6 +97,8 @@ class DiskSink(TelemetrySink):
 
 class RerunSink(TelemetrySink):
     """rerun-sdk streaming telemetry (activates only if rerun importable)."""
+
+    wants_images = True
 
     def __init__(self, run_name: str = "gslam_tpu"):
         import rerun as rr  # noqa: F401 - raises if unavailable

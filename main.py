@@ -43,28 +43,59 @@ def build_parser():
     p.add_argument("--init-iters", type=int, default=None)
     p.add_argument("--mapping-iters", type=int, default=None)
     p.add_argument("--tracking-max-evals", type=int, default=None)
+    p.add_argument("--tracking-method", choices=["igs", "warp"], default="igs")
+    p.add_argument("--telemetry", choices=["null", "disk", "rerun", "auto"],
+                   default="null",
+                   help="per-frame streaming telemetry sink")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint .npz to resume from")
     p.add_argument("--set", action="append", default=[], metavar="PATH=VALUE",
                    help="override any nested config field, e.g. mapping.ssim_weight=0.1")
     return p
 
 
+def _coerce(old, value):
+    if isinstance(old, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    typ = type(old) if old is not None else str
+    if typ in (dict, list, tuple):
+        v = json.loads(value)
+        return typ(v) if typ is tuple else v
+    return typ(value)
+
+
 def apply_overrides(cfg, overrides):
+    """Apply `--set dotted.path=value` overrides. Frozen nested dataclasses
+    (TrackingConfig/MapConfig/RenderConfig) are rebuilt immutably with
+    dataclasses.replace along the path; mutable objects get setattr."""
     for item in overrides:
         path, value = item.split("=", 1)
         parts = path.split(".")
-        obj = cfg
+        chain = [cfg]
         for part in parts[:-1]:
-            obj = getattr(obj, part)
+            chain.append(getattr(chain[-1], part))
         field = parts[-1]
-        old = getattr(obj, field)
-        typ = type(old) if old is not None else str
-        new = json.loads(value) if typ in (dict, list, tuple) else typ(value)
-        if dataclasses.is_dataclass(obj) and getattr(obj, "__dataclass_params__").frozen:
-            raise SystemExit(
-                f"--set cannot override frozen config field {path}; "
-                "use the dedicated flag if one exists"
+        try:
+            old = getattr(chain[-1], field)
+        except AttributeError:
+            raise SystemExit(f"--set: no such config field {path}")
+        new = _coerce(old, value)
+        # Rebuild from the leaf outward: replace() for frozen dataclasses,
+        # setattr once we reach a mutable ancestor.
+        for i in range(len(chain) - 1, -1, -1):
+            obj = chain[i]
+            frozen = (
+                dataclasses.is_dataclass(obj)
+                and obj.__dataclass_params__.frozen
             )
-        setattr(obj, field, new)
+            if frozen:
+                new = dataclasses.replace(obj, **{field: new})
+                if i == 0:
+                    raise SystemExit(f"--set: root config is frozen ({path})")
+                field = parts[i - 1]
+            else:
+                setattr(obj, field, new)
+                break
     return cfg
 
 
@@ -94,7 +125,8 @@ def main(argv=None):
         m_kwargs["num_iters_init"] = args.init_iters
     if args.mapping_iters is not None:
         m_kwargs["num_iters_mapping"] = args.mapping_iters
-    t_kwargs = dict(use_gt_depths=args.use_gt_depths)
+    t_kwargs = dict(use_gt_depths=args.use_gt_depths,
+                    method=args.tracking_method)
     if args.tracking_max_evals is not None:
         t_kwargs["lbfgs_max_eval"] = args.tracking_max_evals
 
@@ -104,11 +136,16 @@ def main(argv=None):
         capacity=args.capacity,
         kf_capacity=args.kf_capacity,
         synchronous=not args.threaded,
+        telemetry=args.telemetry,
         run_dir=str(run_dir),
     )
     cfg = apply_overrides(cfg, args.set)
 
     system = SlamSystem(cfg, cam.width, cam.height)
+    if args.resume:
+        from gslam_tpu.runtime.checkpoint import restore_system
+
+        restore_system(args.resume, system)
     metrics = system.run(dataset)
     print(json.dumps(metrics, indent=2))
     return metrics
