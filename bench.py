@@ -103,6 +103,66 @@ def main():
     # sanity: final pose close to final gt pose
     pose_err = float(jnp.linalg.norm(prev_pose[:3, 3] - poses[-1][:3, 3]))
 
+    # ---- mapping rate at the reference operating point: 10-camera window,
+    # 131k-capacity buffer (100k live), 15 iters/pass
+    # (/root/reference/gslam/backend.py:71-76) ----
+    from gslam_tpu.mapping.backend_ops import (
+        MapConfig, init_pose_adam, mapping_step,
+    )
+    from gslam_tpu.mapping.keyframes import add_keyframe, empty_keyframes
+    from gslam_tpu.mapping.optimizer import init_adam
+
+    CAP, N_LIVE, KF_CAP, WINDOW = 131_072, 100_000, 32, 10
+    zc = rng.uniform(1.2, 4.5, CAP).astype(np.float32)
+    uc = rng.uniform(0, W, CAP).astype(np.float32)
+    vc = rng.uniform(0, H, CAP).astype(np.float32)
+    mc = np.stack([(uc - W / 2) * zc / fx, (vc - H / 2) * zc / fy, zc], -1)
+    alive_m = np.zeros(CAP, bool)
+    alive_m[:N_LIVE] = True
+    mmap = type(gmap)(**{
+        **gmap._asdict(),
+        "means": jnp.asarray(mc),
+        "quats": jnp.asarray(rng.normal(size=(CAP, 4)).astype(np.float32)),
+        "log_scales": jnp.asarray(
+            np.log(rng.uniform(0.004, 0.016, (CAP, 3)) * zc[:, None]).astype(
+                np.float32)),
+        "logit_opacities": jnp.full((CAP,), 1.5),
+        "logit_colors": jnp.asarray(
+            rng.normal(size=(CAP, 3)).astype(np.float32)),
+        "log_uncertainties": jnp.zeros((CAP,)),
+        "ages": jnp.zeros((CAP,), jnp.int32),
+        "alive": jnp.asarray(alive_m),
+    })
+    mcfg = MapConfig(window_size=WINDOW, render=rcfg)
+    kf = empty_keyframes(KF_CAP, H, W)
+    for slot in range(12):
+        img = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+        kpose = jnp.eye(4).at[0, 3].add(0.01 * slot)
+        kf = add_keyframe(kf, slot, img, kpose, jnp.zeros(2), slot)
+    opt_state = init_adam(mmap)
+    pose_opt = init_pose_adam(KF_CAP)
+    widx = jnp.asarray(np.arange(WINDOW) + 2, jnp.int32)
+    wmask = jnp.ones(WINDOW, bool)
+    # Adaptive warm-up: the first call compiles against host-created
+    # (uncommitted) inputs; chained calls see committed jit outputs — a
+    # different jit cache key — and can compile again. Warm until a call
+    # is actually fast so the timed loop measures steady state only.
+    for _ in range(6):
+        tw = time.time()
+        mmap, opt_state, kf, pose_opt, maux = mapping_step(
+            mmap, opt_state, kf, pose_opt, widx, wmask, K, W, H, mcfg)
+        jax.block_until_ready(maux.total_loss)
+        if time.time() - tw < 0.05:
+            break
+    t0 = time.time()
+    map_iters = 30
+    for _ in range(map_iters):
+        mmap, opt_state, kf, pose_opt, maux = mapping_step(
+            mmap, opt_state, kf, pose_opt, widx, wmask, K, W, H, mcfg)
+    jax.block_until_ready(maux.total_loss)
+    map_dt = (time.time() - t0) / map_iters
+    mapping_hz = 1.0 / (15 * map_dt)  # passes/s at 15 iters per pass
+
     result = {
         "metric": "tracking FPS, frozen 50k-splat map @320x240 (1 chip)",
         "value": round(fps, 3),
@@ -114,6 +174,10 @@ def main():
             "sync_fps": round(n_frames / dt_sync, 2),
             "n_evals_last_frame": int(res.n_evals),
             "final_pose_err_m": round(pose_err, 5),
+            "mapping_iter_ms": round(1e3 * map_dt, 2),
+            "mapping_passes_per_s": round(mapping_hz, 2),
+            "mapping_op_point": "10-cam window, 131k cap (100k live), "
+                                "320x240, 15 iters/pass, vs >=10 Hz target",
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),
         },

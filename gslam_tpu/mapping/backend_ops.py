@@ -34,7 +34,7 @@ from gslam_tpu.mapping.keyframes import KeyframeStore
 from gslam_tpu.mapping.optimizer import (
     MaskedAdamState, adam_step,
 )
-from gslam_tpu.opt.lbfgs import lbfgs
+from gslam_tpu.opt.lbfgs import lbfgs_impl
 from gslam_tpu.ops.losses import (
     apply_exposure, edge_aware_depth_tv, isotropic_scale_loss,
     mapping_photometric, masked_depth_l1,
@@ -159,7 +159,11 @@ def _window_loss(
     return total, aux
 
 
-@partial(jax.jit, static_argnames=("width", "height", "cfg"), donate_argnums=(0, 1, 2, 3))
+# donate_argnums REMOVED on purpose: buffer donation makes the axon TPU
+# backend dispatch this step at ~20 s instead of ~3 ms (6000x, measured in
+# scripts/profile_mapping3.py). The extra output allocation is ~20 MB at
+# 131k capacity - irrelevant next to that.
+@partial(jax.jit, static_argnames=("width", "height", "cfg"))
 def mapping_step(
     gmap: GaussianMap,
     opt_state: MaskedAdamState,
@@ -286,7 +290,7 @@ def pose_refinement_lbfgs(
             cam_mask=window_mask,
         )
 
-    res = lbfgs(loss_fn, x0, max_iter=20, max_eval=25, history=10,
+    res = lbfgs_impl(loss_fn, x0, max_iter=20, max_eval=25, history=10,
                 lr=1.0, tol_change=1e-7)
     vec = (x0 + (res.x - x0) * free).reshape(Wn, 9)
     kf = kf._replace(

@@ -217,8 +217,10 @@ class _LbfgsCarry(NamedTuple):
     done: jax.Array
 
 
-@partial(jax.jit, static_argnames=("loss_fn", "max_iter", "max_eval", "history"))
-def lbfgs(
+# NOT @jit: called from inside jitted programs (pose_refinement_lbfgs,
+# warp_track); a nested jit boundary pessimizes axon compilation (see
+# docs/PERF.md). Jitted alias `lbfgs` below for eager callers.
+def lbfgs_impl(
     loss_fn: Callable[[jax.Array], jax.Array],
     x0: jax.Array,
     max_iter: int = 20,
@@ -342,3 +344,9 @@ def lbfgs(
 
     out = jax.lax.while_loop(cond_fn, body, init)
     return LbfgsResult(x=out.x, f=out.f, g=out.g, n_evals=out.n_evals, n_iters=out.it)
+
+
+# Jitted public entry point for eager (host-level) callers.
+lbfgs = partial(
+    jax.jit, static_argnames=("loss_fn", "max_iter", "max_eval", "history")
+)(lbfgs_impl)

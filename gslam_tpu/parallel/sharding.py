@@ -46,7 +46,9 @@ def camera_dp_shardings(mesh: Mesh):
     return NamedSharding(mesh, P()), NamedSharding(mesh, P("cam"))
 
 
-@partial(jax.jit, static_argnames=("width", "height", "cfg"), donate_argnums=(0, 1))
+# no donate_argnums: donation is ~6000x slower on the axon backend
+# (scripts/profile_mapping3.py)
+@partial(jax.jit, static_argnames=("width", "height", "cfg"))
 def dp_mapping_train_step(
     gmap: GaussianMap,  # replicated
     opt_state: MaskedAdamState,  # replicated

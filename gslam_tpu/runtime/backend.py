@@ -24,6 +24,8 @@ from __future__ import annotations
 import dataclasses
 import logging
 import random as py_random
+import time
+from contextlib import contextmanager
 
 import numpy as np
 import jax
@@ -122,6 +124,18 @@ class BackendActor:
         # mapping iterations (VERDICT r1: silent tile/pair truncation)
         self.max_pairs_seen = 0
         self.n_pair_overflows = 0
+        # per-phase wall time, seconds (map/insert/prune/pose_refine/sync)
+        self.phase_s: dict[str, float] = {}
+        self.phase_n: dict[str, int] = {}
+
+    @contextmanager
+    def _timed(self, phase: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.phase_s[phase] = self.phase_s.get(phase, 0.0) + time.time() - t0
+            self.phase_n[phase] = self.phase_n.get(phase, 0) + 1
 
     # ---------------- window policy ----------------
 
@@ -165,6 +179,10 @@ class BackendActor:
     def optimize_map(self, n_iters=None, prune=True, regularize=True):
         if not self.kf_order:
             return
+        with self._timed("map"):
+            self._optimize_map(n_iters, prune, regularize)
+
+    def _optimize_map(self, n_iters, prune, regularize):
         cfg = self.cfg if regularize else self._cfg_noreg
         if n_iters is None:
             n_iters = cfg.num_iters_mapping
@@ -225,6 +243,10 @@ class BackendActor:
         (reference run_pruning; backend.py:409-445)."""
         if not self.kf_order:
             return
+        with self._timed("prune"):
+            self._run_pruning()
+
+    def _run_pruning(self):
         slot = self.kf_order[-1]
         pose = self.kf.poses()[slot]
         vs = render_view_stats(
@@ -247,6 +269,10 @@ class BackendActor:
     def refine_poses(self):
         if len(self.kf_order) < 2:
             return
+        with self._timed("pose_refine"):
+            self._refine_poses()
+
+    def _refine_poses(self):
         widx, wmask = self._window()
         self.kf, _ = pose_refinement_lbfgs(
             self.gmap, self.kf, widx, wmask, self.K,
@@ -292,8 +318,9 @@ class BackendActor:
             if (self.cfg.use_gt_depths and frame.gt_depth is not None)
             else None
         )
-        res = insert_from_depthmap(
-            k_ins, self.gmap, self.opt_state, mock_depth, mock_alpha,
+        with self._timed("insert"):
+            res = insert_from_depthmap(
+                k_ins, self.gmap, self.opt_state, mock_depth, mock_alpha,
             jnp.asarray(frame.image), self.K, pose,
             n_new=5000, frame_index=frame.index, cfg=self.insertion_cfg,
             gt_depthmap=gt_depth,
@@ -342,13 +369,14 @@ class BackendActor:
             if (self.cfg.use_gt_depths and frame.gt_depth is not None)
             else None
         )
-        res = insert_from_depthmap(
-            k_ins, self.gmap, self.opt_state,
+        with self._timed("insert"):
+            res = insert_from_depthmap(
+                k_ins, self.gmap, self.opt_state,
             stats.new_depth * self.cfg.initial_scale, stats.new_alpha,
             jnp.asarray(frame.image), self.K, pose,
-            n_new=100, frame_index=frame.index, cfg=self.insertion_cfg,
-            gt_depthmap=gt_depth, **kwargs,
-        )
+                n_new=100, frame_index=frame.index, cfg=self.insertion_cfg,
+                gt_depthmap=gt_depth, **kwargs,
+            )
         self.gmap, self.opt_state = res.gmap, res.opt_state
 
         slot = self._next_slot()
@@ -411,7 +439,8 @@ class BackendActor:
     def sync_payload(self) -> SyncPayload:
         # Copy out of the donated buffers: the next mapping_step invalidates
         # the current arrays, so the snapshot must own its memory.
-        snapshot = jax.tree_util.tree_map(lambda x: x.copy(), self.gmap)
+        with self._timed("sync"):
+            snapshot = jax.tree_util.tree_map(lambda x: x.copy(), self.gmap)
         poses = np.asarray(self.kf.poses())
         kf_poses = {
             self.kf_frame_idx[s]: poses[s] for s in self.kf_order

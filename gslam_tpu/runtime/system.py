@@ -218,6 +218,16 @@ class SlamSystem:
                 metrics["steady_tracking_fps"] = float(1.0 / np.mean(steady))
         metrics["max_pairs_seen"] = be.max_pairs_seen
         metrics["n_pair_overflows"] = be.n_pair_overflows
+        # per-phase wall-time split (track from the frontend, rest from the
+        # backend's _timed instrumentation)
+        metrics["phase_ms"] = {
+            k: round(1e3 * be.phase_s[k] / max(be.phase_n[k], 1), 2)
+            for k in sorted(be.phase_s)
+        }
+        metrics["phase_total_s"] = {
+            k: round(be.phase_s[k], 2) for k in sorted(be.phase_s)
+        }
+        metrics["phase_calls"] = dict(sorted(be.phase_n.items()))
 
         gt_t, est_t = fe.trajectory()
         if len(gt_t) >= 2:

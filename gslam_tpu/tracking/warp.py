@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from gslam_tpu.core.transforms import HIGH, PoseDelta, pose_matrix, invert_se3
 from gslam_tpu.tracking.track import TrackingConfig
-from gslam_tpu.opt.lbfgs import lbfgs
+from gslam_tpu.opt.lbfgs import lbfgs_impl
 
 
 def bilinear_sample(img: jax.Array, uv: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -122,7 +122,7 @@ def warp_track(
     # lr=1: the strong-Wolfe search owns the step size here (the reference
     # uses momentum-SGD for warp tracking, frontend.py:194-199; full-step
     # L-BFGS converges in far fewer evaluations).
-    res = lbfgs(
+    res = lbfgs_impl(
         loss_fn, x0,
         max_iter=cfg.lbfgs_max_iter, max_eval=cfg.lbfgs_max_eval,
         history=cfg.lbfgs_history, lr=1.0,

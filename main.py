@@ -34,6 +34,12 @@ def build_parser():
     p.add_argument("--seq-len", type=int, default=-1)
     p.add_argument("--run-name", type=str, default="")
     p.add_argument("--downscale", type=int, default=1, help="TUM image downscale")
+    p.add_argument("--width", type=int, default=160, help="synthetic image width")
+    p.add_argument("--height", type=int, default=120, help="synthetic image height")
+    p.add_argument("--n-splats", type=int, default=2000,
+                   help="synthetic scene splat count")
+    p.add_argument("--motion-scale", type=float, default=0.02,
+                   help="synthetic per-frame motion scale")
     p.add_argument("--capacity", type=int, default=2**17, help="max splats")
     p.add_argument("--kf-capacity", type=int, default=64)
     p.add_argument("--use-gt-depths", action="store_true")
@@ -112,6 +118,11 @@ def main(argv=None):
     ds_kwargs = {}
     if args.dataset == "tum":
         ds_kwargs["downscale"] = args.downscale
+    if args.dataset == "synthetic":
+        ds_kwargs.update(
+            width=args.width, height=args.height, n_splats=args.n_splats,
+            motion_scale=args.motion_scale,
+        )
     dataset = build_dataset(args.dataset, args.scene, args.seq_len, **ds_kwargs)
     cam = dataset.camera if dataset.camera is not None else dataset[0].camera
 

@@ -37,7 +37,7 @@ def main(argv=None):
 
     from gslam_tpu.mapping.gaussians import empty_map
     from gslam_tpu.ops.knn import mean_knn_scale
-    from gslam_tpu.ops.rasterize import RenderConfig, render
+    from gslam_tpu.ops.rasterize import RenderConfig, render, render_impl
 
     W, H = args.width, args.height
     rng = np.random.default_rng(0)
@@ -79,11 +79,14 @@ def main(argv=None):
     target_j = jnp.asarray(target)
     eye = jnp.eye(4)[None]
 
-    @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0, 1, 2))
-    def fit(params, mu, nu, n_steps):
+    # no donate_argnums (donation is ~6000x slower on the axon backend) and
+    # every device array is an argument, never a closure constant; jitted
+    # code calls render_impl to avoid a nested jit (docs/PERF.md rules).
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def fit(params, mu, nu, gmap, eye, K, target_j, n_steps):
         def loss_fn(p):
             g = gmap.with_trainable(p)
-            out = render(
+            out = render_impl(
                 **g.render_kwargs(), viewmats=eye, Ks=K[None],
                 width=W, height=H, cfg=cfg,
             )
@@ -113,7 +116,8 @@ def main(argv=None):
     mu = jax.tree_util.tree_map(jnp.zeros_like, params)
     nu = jax.tree_util.tree_map(jnp.zeros_like, params)
     t0 = time.time()
-    params, mu, nu, losses = fit(params, mu, nu, args.iters)
+    params, mu, nu, losses = fit(params, mu, nu, gmap, eye, K,
+                                 target_j, args.iters)
     jax.block_until_ready(losses)
     dt = time.time() - t0
 
