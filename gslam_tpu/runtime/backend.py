@@ -321,10 +321,10 @@ class BackendActor:
         with self._timed("insert"):
             res = insert_from_depthmap(
                 k_ins, self.gmap, self.opt_state, mock_depth, mock_alpha,
-            jnp.asarray(frame.image), self.K, pose,
-            n_new=5000, frame_index=frame.index, cfg=self.insertion_cfg,
-            gt_depthmap=gt_depth,
-        )
+                jnp.asarray(frame.image), self.K, pose,
+                n_new=5000, frame_index=frame.index, cfg=self.insertion_cfg,
+                gt_depthmap=gt_depth,
+            )
         self.gmap, self.opt_state = res.gmap, res.opt_state
 
         slot = self._next_slot()
@@ -372,8 +372,8 @@ class BackendActor:
         with self._timed("insert"):
             res = insert_from_depthmap(
                 k_ins, self.gmap, self.opt_state,
-            stats.new_depth * self.cfg.initial_scale, stats.new_alpha,
-            jnp.asarray(frame.image), self.K, pose,
+                stats.new_depth * self.cfg.initial_scale, stats.new_alpha,
+                jnp.asarray(frame.image), self.K, pose,
                 n_new=100, frame_index=frame.index, cfg=self.insertion_cfg,
                 gt_depthmap=gt_depth, **kwargs,
             )

@@ -64,11 +64,9 @@ def constant_motion_prior(pose_a: jax.Array, pose_b: jax.Array) -> jax.Array:
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "cfg"),
-)
-def track_frame(
+# Undecorated implementation for in-jit callers (the fused SLAM step);
+# the jitted public entry point `track_frame` is defined below.
+def track_frame_impl(
     gmap: GaussianMap,
     base_pose: jax.Array,  # [4, 4] initial world-to-camera guess
     init_exposure: jax.Array,  # [2] seeded from the previous frame
@@ -146,3 +144,9 @@ def track_frame(
     )
     pose, exposure = unpack(x)
     return TrackResult(pose=pose, exposure=exposure, loss=f, n_evals=n_evals)
+
+
+# Jitted public entry point for eager (host-level) callers.
+track_frame = partial(
+    jax.jit, static_argnames=("width", "height", "cfg")
+)(track_frame_impl)

@@ -46,6 +46,12 @@ def build_parser():
     p.add_argument("--enable-pgo", action="store_true")
     p.add_argument("--threaded", action="store_true",
                    help="free-running backend thread instead of deterministic interleave")
+    p.add_argument("--fused", action="store_true",
+                   help="device-resident fused SLAM core: one XLA program "
+                        "per frame, zero host readbacks until the end "
+                        "(runtime/fused.py)")
+    p.add_argument("--chunk", type=int, default=16,
+                   help="frames folded per dispatch in --fused mode")
     p.add_argument("--init-iters", type=int, default=None)
     p.add_argument("--mapping-iters", type=int, default=None)
     p.add_argument("--tracking-max-evals", type=int, default=None)
@@ -151,6 +157,25 @@ def main(argv=None):
         run_dir=str(run_dir),
     )
     cfg = apply_overrides(cfg, args.set)
+
+    if args.fused:
+        import numpy as np
+
+        from gslam_tpu.runtime.fused import FusedConfig, FusedSlam
+
+        fcfg = FusedConfig(
+            tracking=cfg.tracking, mapping=cfg.mapping,
+            max_frames=max(len(dataset), 1),
+            idle_iters=cfg.mapping.num_iters_mapping,
+            use_gt_depths=args.use_gt_depths,
+        )
+        slam = FusedSlam(fcfg, cam.width, cam.height,
+                         capacity=cfg.capacity, kf_capacity=cfg.kf_capacity)
+        metrics = slam.run(dataset, chunk=args.chunk, eval_stride=4)
+        (run_dir / "metrics.json").write_text(json.dumps(metrics, indent=2))
+        np.save(run_dir / "trajectory.npy", slam.trajectory)
+        print(json.dumps(metrics, indent=2))
+        return metrics
 
     system = SlamSystem(cfg, cam.width, cam.height)
     if args.resume:
