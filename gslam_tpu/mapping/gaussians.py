@@ -97,3 +97,80 @@ def compact_free_slots(alive: jax.Array, n: int) -> jax.Array:
     """Indices of the first `n` dead slots; capacity (out-of-range) when fewer."""
     cap = alive.shape[0]
     return jnp.nonzero(~alive, size=n, fill_value=cap)[0].astype(jnp.int32)
+
+
+def compact_map(gmap: GaussianMap, opt_state=None, stable: bool = True):
+    """In-place live-slot compaction: permute live splats to the front.
+
+    The fixed-capacity design (SURVEY §5.7's north star) never moves data —
+    inserts scatter into dead slots, prunes clear live bits — so slots
+    fragment over a long run. Everything is mask-correct regardless, but a
+    dense prefix (a) makes `compact_free_slots` scans trivially cheap,
+    (b) keeps memory traffic for the live set contiguous, and (c) is the
+    primitive a capacity-growth copy builds on. A pure permutation gather,
+    jit-safe (call it under cond every K frames, or host-side).
+
+    Returns (gmap, opt_state) with the same shapes; optimizer moments are
+    permuted identically so moment/parameter pairing is preserved.
+    """
+    order = jnp.argsort(~gmap.alive, stable=stable)  # live first, stable
+
+    def perm(x):
+        return x[order]
+
+    gmap2 = GaussianMap(
+        means=perm(gmap.means),
+        quats=perm(gmap.quats),
+        log_scales=perm(gmap.log_scales),
+        logit_opacities=perm(gmap.logit_opacities),
+        logit_colors=perm(gmap.logit_colors),
+        log_uncertainties=perm(gmap.log_uncertainties),
+        ages=perm(gmap.ages),
+        alive=perm(gmap.alive),
+    )
+    if opt_state is None:
+        return gmap2, None
+    opt2 = type(opt_state)(
+        mu={f: perm(v) for f, v in opt_state.mu.items()},
+        nu={f: perm(v) for f, v in opt_state.nu.items()},
+        count=opt_state.count,
+    )
+    return gmap2, opt2
+
+
+def grow_map(gmap: GaussianMap, opt_state, new_capacity: int):
+    """Host-side capacity growth: copy into a larger buffer (compacted).
+
+    The reference grows by torch.cat on every insert
+    (/root/reference/gslam/insertion.py:27-65); here growth is a rare,
+    geometric, host-triggered event (the next jitted step recompiles once
+    for the new shape — amortized away by doubling)."""
+    if new_capacity < gmap.capacity:
+        raise ValueError("grow_map cannot shrink")
+    gmap, opt_state = compact_map(gmap, opt_state)
+    pad = new_capacity - gmap.capacity
+    big = empty_map(new_capacity)
+
+    def cat(small, template):
+        return jnp.concatenate([small, template[:pad]], axis=0)
+
+    gmap2 = GaussianMap(
+        means=cat(gmap.means, big.means),
+        quats=cat(gmap.quats, big.quats),
+        log_scales=cat(gmap.log_scales, big.log_scales),
+        logit_opacities=cat(gmap.logit_opacities, big.logit_opacities),
+        logit_colors=cat(gmap.logit_colors, big.logit_colors),
+        log_uncertainties=cat(gmap.log_uncertainties, big.log_uncertainties),
+        ages=cat(gmap.ages, big.ages),
+        alive=cat(gmap.alive, big.alive),
+    )
+    if opt_state is None:
+        return gmap2, None
+    opt2 = type(opt_state)(
+        mu={f: jnp.concatenate([v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+            for f, v in opt_state.mu.items()},
+        nu={f: jnp.concatenate([v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+            for f, v in opt_state.nu.items()},
+        count=opt_state.count,
+    )
+    return gmap2, opt2

@@ -35,7 +35,7 @@ from gslam_tpu.mapping.backend_ops import (
     MapConfig, init_pose_adam, keyframe_decision_stats, mapping_step,
     pose_refinement_lbfgs, render_view_stats, visibility_pass,
 )
-from gslam_tpu.mapping.gaussians import empty_map
+from gslam_tpu.mapping.gaussians import empty_map, grow_map
 from gslam_tpu.mapping.insertion import (
     InsertionConfig, densify_by_gradients, insert_from_depthmap,
 )
@@ -470,12 +470,26 @@ class BackendActor:
             self.initialize(frame, pose, exposure)
             return True
         added = self.maybe_add_keyframe(frame, pose, exposure)
+        self._maybe_grow()
         if added:
             self.pause_map_optim = False
             self.optimize_map(1, prune=True, regularize=False)
             if self.cfg.enable_pgo:
                 self.add_pgo_constraints()
         return added
+
+    def _maybe_grow(self):
+        """Geometric capacity growth at 80%% occupancy (rare; the next
+        jitted step recompiles once for the new shape). The reference
+        grows by concat on every insert (insertion.py:27-65)."""
+        n = int(self.gmap.n_live())
+        if n <= 0.8 * self.capacity:
+            return
+        new_cap = self.capacity * 2
+        logger.info("growing splat buffer %d -> %d (live=%d)",
+                    self.capacity, new_cap, n)
+        self.gmap, self.opt_state = grow_map(self.gmap, self.opt_state, new_cap)
+        self.capacity = new_cap
 
     def idle_step(self):
         """One slice of idle-time optimization (reference backend.py:842-851)."""

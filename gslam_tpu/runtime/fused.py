@@ -78,6 +78,7 @@ class FusedConfig:
     init_n_new: int = 5000  # bootstrap insertion (reference backend.py:619)
     kf_n_new: int = 100  # per-keyframe insertion (reference backend.py:655)
     idle_iters: int = 15  # mapping iterations per frame (idle passes)
+    compact_every: int = 32  # frames between in-place live-slot compactions
     use_gt_depths: bool = False
 
     @property
@@ -299,6 +300,19 @@ def slam_step_impl(
         return pruning.apply_prune(gmap, remove)
 
     gmap = jax.lax.cond(it_done > 0, do_prune, lambda: gmap)
+
+    # periodic in-place live-slot compaction (SURVEY 5.7 north star):
+    # pure permutation, keeps the live set a dense prefix at any capacity
+    if cfg.compact_every > 0:
+        from gslam_tpu.mapping.gaussians import compact_map
+
+        def do_compact():
+            return compact_map(gmap, opt_state)
+
+        gmap, opt_state = jax.lax.cond(
+            (i + 1) % cfg.compact_every == 0, do_compact,
+            lambda: (gmap, opt_state),
+        )
 
     return state._replace(
         gmap=gmap, opt_state=opt_state, kf=kf, pose_opt=pose_opt,

@@ -52,6 +52,10 @@ def build_parser():
                         "(runtime/fused.py)")
     p.add_argument("--chunk", type=int, default=16,
                    help="frames folded per dispatch in --fused mode")
+    p.add_argument("--init-n-new", type=int, default=5000,
+                   help="bootstrap insertion size (--fused)")
+    p.add_argument("--kf-n-new", type=int, default=100,
+                   help="per-keyframe insertion size (--fused)")
     p.add_argument("--init-iters", type=int, default=None)
     p.add_argument("--mapping-iters", type=int, default=None)
     p.add_argument("--tracking-max-evals", type=int, default=None)
@@ -166,6 +170,7 @@ def main(argv=None):
         fcfg = FusedConfig(
             tracking=cfg.tracking, mapping=cfg.mapping,
             max_frames=max(len(dataset), 1),
+            init_n_new=args.init_n_new, kf_n_new=args.kf_n_new,
             idle_iters=cfg.mapping.num_iters_mapping,
             use_gt_depths=args.use_gt_depths,
         )

@@ -162,3 +162,52 @@ def test_false_colormap():
 
     masked = false_colormap(img, mask=img > 0.5)
     assert (masked[img <= 0.5] == 0).all()
+
+
+def test_compact_and_grow_preserve_render(rng):
+    """compact_map permutes live splats to a dense prefix and grow_map
+    doubles capacity; both must leave the rendered image unchanged
+    (the rasterizer is slot-order agnostic: depth-sorted blending)."""
+    import jax.numpy as jnp
+
+    from gslam_tpu.mapping.gaussians import compact_map, empty_map, grow_map
+    from gslam_tpu.mapping.optimizer import init_adam
+    from gslam_tpu.ops.rasterize import RenderConfig, render
+
+    cap, W, H = 128, 48, 32
+    alive = np.zeros(cap, bool)
+    alive[rng.choice(cap, 70, replace=False)] = True  # fragmented slots
+    z = rng.uniform(1.0, 3.0, cap).astype(np.float32)
+    gmap = empty_map(cap)._replace(
+        means=jnp.asarray(
+            np.stack([rng.normal(0, 0.5, cap), rng.normal(0, 0.4, cap), z],
+                     -1).astype(np.float32)),
+        log_scales=jnp.full((cap, 3), np.log(0.08), jnp.float32),
+        logit_opacities=jnp.asarray(rng.normal(0.5, 0.3, cap).astype(np.float32)),
+        logit_colors=jnp.asarray(rng.normal(0, 1, (cap, 3)).astype(np.float32)),
+        alive=jnp.asarray(alive),
+    )
+    opt = init_adam(gmap)
+    K = jnp.asarray([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], jnp.float32)
+    rcfg = RenderConfig(tile_capacity=96, tile_chunk=6)
+
+    def img(g):
+        out = render(**g.render_kwargs(), viewmats=jnp.eye(4)[None],
+                     Ks=K[None], width=W, height=H, cfg=rcfg)
+        return np.asarray(out.rgb[0])
+
+    base = img(gmap)
+
+    g2, opt2 = compact_map(gmap, opt)
+    assert int(g2.n_live()) == 70
+    # dense prefix: all live slots first
+    a2 = np.asarray(g2.alive)
+    assert a2[:70].all() and not a2[70:].any()
+    np.testing.assert_allclose(img(g2), base, atol=1e-5)
+
+    g3, opt3 = grow_map(gmap, opt, cap * 2)
+    assert g3.capacity == cap * 2
+    assert int(g3.n_live()) == 70
+    np.testing.assert_allclose(img(g3), base, atol=1e-5)
+    for f in opt3.mu:
+        assert opt3.mu[f].shape[0] == cap * 2
