@@ -87,14 +87,24 @@ class SyntheticDataset:
         self.poses = np.stack(poses)  # world-to-camera
 
         cfg = RenderConfig(tile_capacity=512, tile_chunk=16, pairs_per_gaussian=16)
-        out = render(
-            **gmap.render_kwargs(),
-            viewmats=jnp.asarray(self.poses),
-            Ks=jnp.tile(jnp.asarray(K)[None], (seq_len, 1, 1)),
-            width=width, height=height, cfg=cfg,
-        )
-        self.images = np.clip(np.asarray(out.rgb), 0.0, 1.0)
-        self.depths = np.asarray(out.depth) if with_depth else None
+        # Render ground truth in camera batches: one batched call over the
+        # whole sequence allocates a [seq_len, tiles, px, feat] blend buffer
+        # (18.8 GB at 120 frames of 640x480) and OOMs HBM.
+        batch = max(1, min(seq_len, (8 * 640 * 480) // (width * height)))
+        imgs, deps = [], []
+        for c0 in range(0, seq_len, batch):
+            vm = jnp.asarray(self.poses[c0:c0 + batch])
+            out = render(
+                **gmap.render_kwargs(),
+                viewmats=vm,
+                Ks=jnp.tile(jnp.asarray(K)[None], (vm.shape[0], 1, 1)),
+                width=width, height=height, cfg=cfg,
+            )
+            imgs.append(np.clip(np.asarray(out.rgb), 0.0, 1.0))
+            if with_depth:
+                deps.append(np.asarray(out.depth))
+        self.images = np.concatenate(imgs, axis=0)
+        self.depths = np.concatenate(deps, axis=0) if with_depth else None
         self.with_depth = with_depth
 
     def init(self):

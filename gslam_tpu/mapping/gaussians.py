@@ -10,8 +10,9 @@ TPU design is a donated fixed-capacity pytree-of-arrays with a live mask:
   * pruning   = clearing live bits,
   * rendering = the live mask rides into the projector's cull test.
 
-Shapes never change, so every jitted step compiles exactly once and buffers
-can be donated in-place.
+Shapes never change, so every jitted step compiles exactly once. (Buffer
+donation is deliberately not used: it is ~6000x slower on the axon TPU
+backend — docs/PERF.md.)
 """
 
 from __future__ import annotations

@@ -14,9 +14,11 @@ behavior (/root/reference/gslam/backend.py:827-903):
     pruning and L-BFGS pose refinement;
   * None sentinel -> END_SYNC + checkpoint.
 
-The actor owns donated device buffers (splat map + Adam moments + keyframe
-store); every state transition is a jitted call that consumes and returns
-them. Python here only decides *which* kernel to launch next.
+The actor owns fixed-capacity device buffers (splat map + Adam moments +
+keyframe store); every state transition is a jitted call that consumes and
+returns them (donation deliberately NOT used — see docs/PERF.md). Python
+here only decides *which* kernel to launch next. For the transport-optimal
+single-program-per-frame variant see runtime/fused.py.
 """
 
 from __future__ import annotations

@@ -366,7 +366,13 @@ class FusedSlam:
         self.capacity, self.kf_capacity = capacity, kf_capacity
         self.seed = seed
 
-    def run(self, dataset, chunk: int = 16, eval_stride: int = 0) -> dict:
+    def run(self, dataset, chunk: int = 16, eval_stride: int = 0,
+            sync_every: int = 8) -> dict:
+        """chunk > 1 folds frames with lax.scan (fewest dispatches; on the
+        current axon TPU stack deep scan nesting can fault the worker, so
+        chip runs should use chunk=1). chunk == 1 dispatches slam_step per
+        frame and reads back one scalar every `sync_every` frames to bound
+        the transport backlog."""
         H, W = self.height, self.width
         state = init_fused_state(
             self.cfg, self.capacity, self.kf_capacity, H, W, self.seed)
@@ -385,16 +391,25 @@ class FusedSlam:
             state = slam_scan(state, imgs, deps, K, W, H, self.cfg)
             buf_imgs, buf_depths = [], []
 
+        zeros_depth = np.zeros((H, W), np.float32)
         for frame in iter(dataset):
             frames_meta.append((frame.index, frame.timestamp, frame.gt_pose))
-            buf_imgs.append(np.asarray(frame.image, np.float32))
-            buf_depths.append(
+            depth = (
                 np.asarray(frame.gt_depth, np.float32)
-                if frame.gt_depth is not None
-                else np.zeros((H, W), np.float32)
+                if frame.gt_depth is not None else zeros_depth
             )
-            if len(buf_imgs) >= chunk:
-                flush()
+            if chunk <= 1:
+                state = slam_step(
+                    state, jnp.asarray(np.asarray(frame.image, np.float32)),
+                    jnp.asarray(depth), K, W, H, self.cfg,
+                )
+                if sync_every and frame.index % sync_every == sync_every - 1:
+                    int(state.frame_count)  # bound the dispatch backlog
+            else:
+                buf_imgs.append(np.asarray(frame.image, np.float32))
+                buf_depths.append(depth)
+                if len(buf_imgs) >= chunk:
+                    flush()
         flush()
         t_enqueue = time.time() - t_start
 

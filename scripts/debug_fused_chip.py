@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Isolate the fused-step TPU crash: run N slam_steps with an immediate
+readback each, optionally with the jnp (non-Pallas) blend backend."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    backend = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from gslam_tpu.io.synthetic import SyntheticDataset
+    from gslam_tpu.mapping.backend_ops import MapConfig
+    from gslam_tpu.ops.rasterize import RenderConfig
+    from gslam_tpu.tracking.track import TrackingConfig
+    from gslam_tpu.runtime.fused import (
+        FusedConfig, init_fused_state, slam_step,
+    )
+
+    W, H = 320, 240
+    rcfg = RenderConfig(backend=backend)
+    cfg = FusedConfig(
+        tracking=TrackingConfig(render=rcfg),
+        mapping=MapConfig(render=rcfg, num_iters_init=30),
+        max_frames=8, init_n_new=2000, kf_n_new=100, idle_iters=5,
+    )
+    ds = SyntheticDataset(seq_len=n_steps, width=W, height=H, n_splats=4000,
+                          seed=1, motion_scale=0.02)
+    state = init_fused_state(cfg, 16384, 16, H, W, 0)
+    K = jnp.asarray(ds.camera.K, jnp.float32)
+    zeros_d = jnp.zeros((H, W), jnp.float32)
+    print(f"device: {jax.devices()[0]} backend={backend}", flush=True)
+
+    for i, frame in enumerate(iter(ds)):
+        img = jnp.asarray(np.asarray(frame.image, np.float32))
+        t0 = time.time()
+        state = slam_step(state, img, zeros_d, K, W, H, cfg)
+        # immediate readback: forces real execution of THIS step
+        fc = int(state.frame_count)
+        tl = float(state.track_losses[i])
+        print(f"step {i}: frame_count={fc} track_loss={tl:.5f} "
+              f"kf={bool(np.asarray(state.kf_flags[i]))} "
+              f"({time.time()-t0:.1f}s)", flush=True)
+
+    print("n_live:", int(state.gmap.n_live()), flush=True)
+    print("OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
