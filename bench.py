@@ -1,191 +1,439 @@
 #!/usr/bin/env python3
-"""Headline benchmark: tracking throughput on one chip.
+"""Headline benchmark. Prints ONE JSON line.
 
-Mirrors BASELINE.json config 1 — per-frame camera tracking against a
-frozen 50k-splat map at 320x240 — and reports FPS against the 30 FPS
-north-star target. Prints ONE JSON line.
+Three sections, each in a FRESH subprocess so the axon transport's
+first-readback mode flip (docs/PERF.md) cannot poison another section's
+numbers:
+
+  tracking   — per-frame camera tracking against a frozen 50k-splat map at
+               320x240 (BASELINE config 1, vs the 30 FPS north star):
+               (a) enqueue-rate FPS (async pipelined, as the streaming SLAM
+               loop runs), (b) sync per-frame latency, and (c) an honest
+               DEVICE-throughput lower bound from the marginal rate of two
+               different-length lax.scan programs (the flat per-dispatch
+               transport cost cancels in the difference).
+  mapping    — the reference mapping op point (10-camera window, 131k cap,
+               100k live; /root/reference/gslam/backend.py:71-76), measured
+               BEFORE any readback in its process, plus the same scan
+               marginal-rate device measurement.
+  onemillion — render + mapping-iter + compaction at 2^20 capacity
+               (BASELINE config 3 scale evidence).
+
+Each section prints progressive `{"part": ...}` JSON lines so a fault in a
+later measurement cannot lose earlier results; the orchestrator merges
+whatever arrived into the final line.
 """
 
 import json
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+REPO = "/root/repo"
 
-def main():
+
+def _jax():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", f"{REPO}/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return jax
+
+
+def _emit(part: str, payload: dict):
+    print(json.dumps({"part": part, **payload}), flush=True)
+
+
+def _make_map(cap, n_live, W, H, fx, rng, scale_lo=0.004, scale_hi=0.016,
+              z_hi=4.5, opacity=1.5):
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
     from gslam_tpu.mapping.gaussians import empty_map
+
+    z = rng.uniform(1.2, z_hi, cap).astype(np.float32)
+    u = rng.uniform(0, W, cap).astype(np.float32)
+    v = rng.uniform(0, H, cap).astype(np.float32)
+    means = np.stack([(u - W / 2) * z / fx, (v - H / 2) * z / fx, z], -1)
+    alive = np.zeros(cap, bool)
+    alive[:n_live] = True
+    return empty_map(cap)._replace(
+        means=jnp.asarray(means),
+        quats=jnp.asarray(rng.normal(size=(cap, 4)).astype(np.float32)),
+        log_scales=jnp.asarray(
+            np.log(rng.uniform(scale_lo, scale_hi, (cap, 3)) * z[:, None])
+            .astype(np.float32)),
+        logit_opacities=jnp.full((cap,), opacity),
+        logit_colors=jnp.asarray(
+            rng.normal(size=(cap, 3)).astype(np.float32) * 1.5),
+        log_uncertainties=jnp.zeros((cap,)),
+        alive=jnp.asarray(alive),
+    )
+
+
+# ---------------------------------------------------------------- tracking
+
+
+def section_tracking():
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from gslam_tpu.core.transforms import se3_exp
     from gslam_tpu.ops.rasterize import RenderConfig, render
     from gslam_tpu.tracking.track import TrackingConfig, track_frame
-    from gslam_tpu.core.transforms import se3_exp
 
     W, H = 320, 240
     N = 50_000
     rng = np.random.default_rng(0)
-    fx = fy = 280.0
-    K = jnp.array([[fx, 0, W / 2], [0, fy, H / 2], [0, 0, 1]], jnp.float32)
-
-    z = rng.uniform(1.2, 4.5, N).astype(np.float32)
-    u = rng.uniform(0, W, N).astype(np.float32)
-    v = rng.uniform(0, H, N).astype(np.float32)
-    means = np.stack([(u - W / 2) * z / fx, (v - H / 2) * z / fy, z], -1)
-
-    gmap = empty_map(N)._replace(
-        means=jnp.asarray(means),
-        quats=jnp.asarray(rng.normal(size=(N, 4)).astype(np.float32)),
-        log_scales=jnp.asarray(
-            np.log(rng.uniform(0.004, 0.016, (N, 3)) * z[:, None]).astype(np.float32)
-        ),
-        logit_opacities=jnp.full((N,), 1.5),
-        logit_colors=jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32) * 1.5),
-        log_uncertainties=jnp.zeros((N,)),
-        alive=jnp.ones((N,), bool),
-    )
-
+    fx = 280.0
+    K = jnp.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]], jnp.float32)
+    gmap = _make_map(N, N, W, H, fx, rng)
     rcfg = RenderConfig(tile_capacity=512, tile_chunk=50, pairs_per_gaussian=8)
     tcfg = TrackingConfig(render=rcfg)
 
     # ground-truth frames along a gentle trajectory
     n_frames = 10
     xis = rng.normal(scale=0.004, size=(n_frames, 6)).astype(np.float32)
-    poses = []
-    cur = jnp.eye(4)
+    poses, cur = [], jnp.eye(4)
     for i in range(n_frames):
         cur = se3_exp(jnp.asarray(xis[i])) @ cur
         poses.append(cur)
     poses = jnp.stack(poses)
     out = render(
-        **gmap.render_kwargs(),
-        viewmats=poses, Ks=jnp.tile(K[None], (n_frames, 1, 1)),
-        width=W, height=H, cfg=rcfg,
+        **gmap.render_kwargs(), viewmats=poses,
+        Ks=jnp.tile(K[None], (n_frames, 1, 1)), width=W, height=H, cfg=rcfg,
     )
     gt_imgs = jnp.clip(out.rgb, 0.0, 1.0)
     jax.block_until_ready(gt_imgs)
 
-    # warm-up / compile
     res = track_frame(gmap, jnp.eye(4), jnp.zeros(2), gt_imgs[0], K, W, H, tcfg)
     jax.block_until_ready(res.pose)
 
-    # timed tracking loop with constant-motion-style chaining (async
-    # pipelined, the online-throughput number: dispatches overlap device
-    # execution exactly as in the streaming SLAM loop)
+    # (a) async pipelined loop — enqueue/elide rate, the streaming op mode
     t0 = time.time()
-    prev_pose = jnp.eye(4)
-    exposure = jnp.zeros(2)
-    errs = []
+    prev_pose, exposure = jnp.eye(4), jnp.zeros(2)
     for i in range(n_frames):
         res = track_frame(gmap, prev_pose, exposure, gt_imgs[i], K, W, H, tcfg)
         prev_pose, exposure = res.pose, res.exposure
-        errs.append(res.pose)
     jax.block_until_ready(prev_pose)
     dt = time.time() - t0
-    fps = n_frames / dt
+    fps_enqueue = n_frames / dt
 
-    # synchronous per-frame latency (block after every frame: includes the
-    # full host->device dispatch round-trip per call)
+    # (b) sync per-frame latency (block after every frame)
     t0 = time.time()
-    prev_pose_s = jnp.eye(4)
-    exposure_s = jnp.zeros(2)
+    prev_s, exp_s = jnp.eye(4), jnp.zeros(2)
     for i in range(n_frames):
-        res = track_frame(
-            gmap, prev_pose_s, exposure_s, gt_imgs[i], K, W, H, tcfg
-        )
-        prev_pose_s, exposure_s = res.pose, res.exposure
-        jax.block_until_ready(prev_pose_s)
+        r = track_frame(gmap, prev_s, exp_s, gt_imgs[i], K, W, H, tcfg)
+        prev_s, exp_s = r.pose, r.exposure
+        jax.block_until_ready(prev_s)
     dt_sync = time.time() - t0
 
-    # sanity: final pose close to final gt pose
+    # correctness readback — AFTER the timed regions; flips the transport
     pose_err = float(jnp.linalg.norm(prev_pose[:3, 3] - poses[-1][:3, 3]))
+    _emit("tracking", {
+        "fps_enqueue": round(fps_enqueue, 3),
+        "mean_track_ms": round(1e3 * dt / n_frames, 2),
+        "sync_track_ms": round(1e3 * dt_sync / n_frames, 2),
+        "sync_fps": round(n_frames / dt_sync, 2),
+        "n_evals_last_frame": int(res.n_evals),
+        "final_pose_err_m": round(pose_err, 5),
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    })
 
-    # ---- mapping rate at the reference operating point: 10-camera window,
-    # 131k-capacity buffer (100k live), 15 iters/pass
-    # (/root/reference/gslam/backend.py:71-76) ----
-    from gslam_tpu.mapping.backend_ops import (
-        MapConfig, init_pose_adam, mapping_step,
-    )
+    # (c) device-throughput lower bound: marginal rate between two scan
+    # lengths; the flat per-dispatch transport cost cancels. One scanned
+    # step = full track_frame (prior -> warm-up Adam -> L-BFGS).
+    from functools import partial
+
+    from gslam_tpu.tracking.track import track_frame_impl
+
+    # NB every device array is an ARGUMENT (incl. gmap/K): a jit that
+    # captures a committed buffer dispatches ~190 ms flat (PERF.md rule 1).
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_track(g, pose0, exposure0, imgs, Karg, eps, n):
+        def body(c, i):
+            pose, expo = c
+            r = track_frame_impl(
+                g, pose, expo, imgs[i % n_frames] + eps, Karg, W, H, tcfg)
+            return (r.pose, r.exposure), None
+
+        (p, e), _ = jax.lax.scan(
+            body, (pose0, exposure0), jnp.arange(n), length=n)
+        return p, e
+
+    n1, n2 = 8, 32
+    p, _ = scan_track(gmap, jnp.eye(4), jnp.zeros(2), gt_imgs, K,
+                      jnp.float32(0.0), n1)
+    float(p[0, 0])  # compile + flip
+    times = {}
+    for k, n in ((1, n1), (2, n2)):
+        t0 = time.time()
+        p, _ = scan_track(gmap, jnp.eye(4), jnp.zeros(2), gt_imgs, K,
+                          jnp.float32(k) * 1e-7, n)
+        float(p[0, 0])
+        times[k] = time.time() - t0
+    step_ms = 1e3 * (times[2] - times[1]) / (n2 - n1)
+    _emit("tracking_device", {
+        "device_track_ms": round(step_ms, 3),
+        "device_fps_lower_bound": round(1e3 / max(step_ms, 1e-6), 1),
+        "method": f"marginal rate of lax.scan({n1}) vs lax.scan({n2}) "
+                  "full-track steps, one readback each; flat dispatch "
+                  "cost cancels in the difference",
+        "scan_s": {str(k): round(v, 2) for k, v in times.items()},
+    })
+
+
+# ---------------------------------------------------------------- mapping
+
+
+def _mapping_op_point():
+    import jax.numpy as jnp
+
+    from gslam_tpu.mapping.backend_ops import MapConfig, init_pose_adam
     from gslam_tpu.mapping.keyframes import add_keyframe, empty_keyframes
     from gslam_tpu.mapping.optimizer import init_adam
+    from gslam_tpu.ops.rasterize import RenderConfig
 
+    W, H = 320, 240
     CAP, N_LIVE, KF_CAP, WINDOW = 131_072, 100_000, 32, 10
-    zc = rng.uniform(1.2, 4.5, CAP).astype(np.float32)
-    uc = rng.uniform(0, W, CAP).astype(np.float32)
-    vc = rng.uniform(0, H, CAP).astype(np.float32)
-    mc = np.stack([(uc - W / 2) * zc / fx, (vc - H / 2) * zc / fy, zc], -1)
-    alive_m = np.zeros(CAP, bool)
-    alive_m[:N_LIVE] = True
-    mmap = type(gmap)(**{
-        **gmap._asdict(),
-        "means": jnp.asarray(mc),
-        "quats": jnp.asarray(rng.normal(size=(CAP, 4)).astype(np.float32)),
-        "log_scales": jnp.asarray(
-            np.log(rng.uniform(0.004, 0.016, (CAP, 3)) * zc[:, None]).astype(
-                np.float32)),
-        "logit_opacities": jnp.full((CAP,), 1.5),
-        "logit_colors": jnp.asarray(
-            rng.normal(size=(CAP, 3)).astype(np.float32)),
-        "log_uncertainties": jnp.zeros((CAP,)),
-        "ages": jnp.zeros((CAP,), jnp.int32),
-        "alive": jnp.asarray(alive_m),
-    })
-    mcfg = MapConfig(window_size=WINDOW, render=rcfg)
+    rng = np.random.default_rng(0)
+    fx = 280.0
+    K = jnp.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]], jnp.float32)
+    gmap = _make_map(CAP, N_LIVE, W, H, fx, rng)
+    rcfg = RenderConfig(tile_capacity=512, tile_chunk=50, pairs_per_gaussian=8)
+    cfg = MapConfig(window_size=WINDOW, render=rcfg)
     kf = empty_keyframes(KF_CAP, H, W)
     for slot in range(12):
         img = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
-        kpose = jnp.eye(4).at[0, 3].add(0.01 * slot)
-        kf = add_keyframe(kf, slot, img, kpose, jnp.zeros(2), slot)
-    opt_state = init_adam(mmap)
-    pose_opt = init_pose_adam(KF_CAP)
+        pose = jnp.eye(4).at[0, 3].add(0.01 * slot)
+        kf = add_keyframe(kf, slot, img, pose, jnp.zeros(2), slot)
     widx = jnp.asarray(np.arange(WINDOW) + 2, jnp.int32)
     wmask = jnp.ones(WINDOW, bool)
-    # Adaptive warm-up: the first call compiles against host-created
-    # (uncommitted) inputs; chained calls see committed jit outputs — a
-    # different jit cache key — and can compile again. Warm until a call
-    # is actually fast so the timed loop measures steady state only.
+    return (gmap, init_adam(gmap), kf, init_pose_adam(KF_CAP), widx, wmask,
+            K, W, H, cfg)
+
+
+def section_mapping():
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from gslam_tpu.mapping.backend_ops import mapping_step
+
+    (gmap, opt_state, kf, pose_opt, widx, wmask, K, W, H, cfg) = (
+        _mapping_op_point())
+
+    # Adaptive warm-up (committed-input recompile; docs/PERF.md 1b). No
+    # readbacks anywhere in this region: the process stays in enqueue mode,
+    # exactly like mid-run SLAM.
+    st = [gmap, opt_state, kf, pose_opt]
     for _ in range(6):
         tw = time.time()
-        mmap, opt_state, kf, pose_opt, maux = mapping_step(
-            mmap, opt_state, kf, pose_opt, widx, wmask, K, W, H, mcfg)
-        jax.block_until_ready(maux.total_loss)
+        g, o, k2, p, aux = mapping_step(
+            st[0], st[1], st[2], st[3], widx, wmask, K, W, H, cfg)
+        st = [g, o, k2, p]
+        jax.block_until_ready(aux.total_loss)
         if time.time() - tw < 0.05:
             break
     t0 = time.time()
-    map_iters = 30
-    for _ in range(map_iters):
-        mmap, opt_state, kf, pose_opt, maux = mapping_step(
-            mmap, opt_state, kf, pose_opt, widx, wmask, K, W, H, mcfg)
-    jax.block_until_ready(maux.total_loss)
-    map_dt = (time.time() - t0) / map_iters
-    mapping_hz = 1.0 / (15 * map_dt)  # passes/s at 15 iters per pass
+    iters = 30
+    for _ in range(iters):
+        g, o, k2, p, aux = mapping_step(
+            st[0], st[1], st[2], st[3], widx, wmask, K, W, H, cfg)
+        st = [g, o, k2, p]
+    jax.block_until_ready(aux.total_loss)
+    map_ms = (time.time() - t0) / iters * 1e3
+    _emit("mapping", {
+        "mapping_iter_ms": round(map_ms, 3),
+        "mapping_passes_per_s": round(1.0 / (15 * map_ms / 1e3), 2),
+        "op_point": "10-cam window, 131k cap (100k live), 320x240, "
+                    "15 iters/pass, vs >=10 Hz target",
+        "method": "fresh process, zero readbacks before/inside the timed "
+                  "region (enqueue mode = the streaming SLAM op mode)",
+    })
 
+    # device marginal rate via two scan lengths (one dispatch each)
+    from functools import partial
+
+    from gslam_tpu.mapping.backend_ops import mapping_step as _ms
+
+    step_impl = _ms.__wrapped__
+
+    # NB device arrays (widx/wmask/K) are ARGUMENTS, not captures (PERF.md
+    # rule 1: captured committed buffers poison the dispatch path).
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_map(g, o, k2, p, wi, wm, Karg, eps, n):
+        def body(c, _):
+            g, o, k2, p = c
+            k2 = k2._replace(images=k2.images + eps)
+            g, o, k2, p, aux = step_impl(
+                g, o, k2, p, wi, wm, Karg, W, H, cfg)
+            return (g, o, k2, p), aux.total_loss
+
+        c, losses = jax.lax.scan(body, (g, o, k2, p), None, length=n)
+        return losses
+
+    n1, n2 = 5, 20
+    losses = scan_map(st[0], st[1], st[2], st[3], widx, wmask, K,
+                      jnp.float32(0.0), n1)
+    float(losses[0])  # compile + flip
+    times = {}
+    for k, n in ((1, n1), (2, n2)):
+        t0 = time.time()
+        losses = scan_map(st[0], st[1], st[2], st[3], widx, wmask, K,
+                          jnp.float32(k) * 1e-7, n)
+        float(losses[0])
+        times[k] = time.time() - t0
+    step_ms = 1e3 * (times[2] - times[1]) / (n2 - n1)
+    _emit("mapping_device", {
+        "device_mapping_iter_ms": round(step_ms, 3),
+        "device_mapping_passes_per_s": round(1.0 / (15 * step_ms / 1e3), 2),
+        "method": f"marginal rate of lax.scan({n1}) vs lax.scan({n2}) "
+                  "mapping steps, one readback each",
+        "scan_s": {str(k): round(v, 2) for k, v in times.items()},
+    })
+
+
+# -------------------------------------------------------------- onemillion
+
+
+def section_onemillion():
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from gslam_tpu.mapping.backend_ops import (
+        MapConfig, init_pose_adam, mapping_step,
+    )
+    from gslam_tpu.mapping.gaussians import compact_map
+    from gslam_tpu.mapping.keyframes import add_keyframe, empty_keyframes
+    from gslam_tpu.mapping.optimizer import init_adam
+    from gslam_tpu.ops.rasterize import RenderConfig, render
+
+    W, H = 640, 480
+    CAP, N_LIVE, KF_CAP, WINDOW = 1 << 20, 1_000_000, 16, 10
+    rng = np.random.default_rng(0)
+    fx = 560.0
+    K = jnp.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]], jnp.float32)
+    gmap = _make_map(CAP, N_LIVE, W, H, fx, rng, scale_lo=0.002,
+                     scale_hi=0.008, z_hi=6.0, opacity=0.5)
+    rcfg = RenderConfig(tile_capacity=256, tile_chunk=60, pairs_per_gaussian=4)
+    cfg = MapConfig(window_size=WINDOW, render=rcfg)
+    kf = empty_keyframes(KF_CAP, H, W)
+    for slot in range(12):
+        img = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+        pose = jnp.eye(4).at[0, 3].add(0.02 * slot)
+        kf = add_keyframe(kf, slot, img, pose, jnp.zeros(2), slot)
+    opt_state = init_adam(gmap)
+    pose_opt = init_pose_adam(KF_CAP)
+    widx = jnp.asarray(np.arange(WINDOW) + 2, jnp.int32)
+    wmask = jnp.ones(WINDOW, bool)
+
+    # single-view render at 1M live splats
+    out = render(**gmap.render_kwargs(), viewmats=jnp.eye(4)[None],
+                 Ks=K[None], width=W, height=H, cfg=rcfg)
+    jax.block_until_ready(out.rgb)
+    t0 = time.time()
+    reps = 10
+    for i in range(reps):
+        out = render(
+            **gmap.render_kwargs(),
+            viewmats=jnp.eye(4).at[0, 3].add(i * 1e-6)[None], Ks=K[None],
+            width=W, height=H, cfg=rcfg)
+    jax.block_until_ready(out.rgb)
+    render_ms = (time.time() - t0) / reps * 1e3
+
+    # in-place live-slot compaction at 2^20 capacity
+    g2, o2 = compact_map(gmap, opt_state)
+    jax.block_until_ready(g2.alive)
+    t0 = time.time()
+    for _ in range(5):
+        g2, o2 = compact_map(g2, o2)
+    jax.block_until_ready(g2.alive)
+    compact_ms = (time.time() - t0) / 5 * 1e3
+
+    # mapping step at 1M (adaptive warm-up per docs/PERF.md 1b)
+    st = [gmap, opt_state, kf, pose_opt]
+    for _ in range(6):
+        tw = time.time()
+        g, o, k2, p, aux = mapping_step(
+            st[0], st[1], st[2], st[3], widx, wmask, K, W, H, cfg)
+        st = [g, o, k2, p]
+        jax.block_until_ready(aux.total_loss)
+        if time.time() - tw < 0.25:
+            break
+    t0 = time.time()
+    iters = 15
+    for _ in range(iters):
+        g, o, k2, p, aux = mapping_step(
+            st[0], st[1], st[2], st[3], widx, wmask, K, W, H, cfg)
+        st = [g, o, k2, p]
+    jax.block_until_ready(aux.total_loss)
+    map_ms = (time.time() - t0) / iters * 1e3
+
+    _emit("onemillion", {
+        "capacity": CAP,
+        "n_live": N_LIVE,
+        "render_ms_640x480": round(render_ms, 2),
+        "compact_ms": round(compact_ms, 2),
+        "mapping_iter_ms": round(map_ms, 2),
+        "mapping_passes_per_s": round(1.0 / (15 * map_ms / 1e3), 2),
+    })
+
+
+# ------------------------------------------------------------ orchestrator
+
+
+def run_sections():
+    parts = {}
+    for section, budget in (("tracking", 480), ("mapping", 480),
+                            ("onemillion", 540)):
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--section", section],
+                capture_output=True, text=True, timeout=budget, cwd=REPO,
+            )
+            out = proc.stdout
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"")
+            out = out.decode() if isinstance(out, bytes) else out
+            parts.setdefault("errors", []).append(f"{section}: timeout")
+        for line in out.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            name = d.pop("part", None)
+            if name:
+                parts[name] = d
+    return parts
+
+
+def main():
+    if "--section" in sys.argv:
+        section = sys.argv[sys.argv.index("--section") + 1]
+        {"tracking": section_tracking,
+         "mapping": section_mapping,
+         "onemillion": section_onemillion}[section]()
+        return
+
+    parts = run_sections()
+    tr = parts.get("tracking", {})
+    fps = tr.get("fps_enqueue", 0.0)
     result = {
         "metric": "tracking FPS, frozen 50k-splat map @320x240 (1 chip)",
-        "value": round(fps, 3),
+        "value": fps,
         "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 4),
-        "detail": {
-            "mean_track_ms": round(1e3 * dt / n_frames, 2),
-            "sync_track_ms": round(1e3 * dt_sync / n_frames, 2),
-            "sync_fps": round(n_frames / dt_sync, 2),
-            "n_evals_last_frame": int(res.n_evals),
-            "final_pose_err_m": round(pose_err, 5),
-            "mapping_iter_ms": round(1e3 * map_dt, 2),
-            "mapping_passes_per_s": round(mapping_hz, 2),
-            "mapping_op_point": "10-cam window, 131k cap (100k live), "
-                                "320x240, 15 iters/pass, vs >=10 Hz target",
-            "platform": jax.devices()[0].platform,
-            "device": str(jax.devices()[0]),
-        },
+        "vs_baseline": round(fps / 30.0, 4) if fps else 0.0,
+        "detail": parts,
     }
     print(json.dumps(result))
     return result
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO)
     main()

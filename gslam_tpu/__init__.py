@@ -22,3 +22,15 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# The axon TPU plugin force-selects itself regardless of the JAX_PLATFORMS
+# env var; re-assert the user's explicit choice at import time so
+# `JAX_PLATFORMS=cpu python main.py ...` actually runs on CPU (tests do the
+# same in tests/conftest.py).
+_env_platforms = _os.environ.get("JAX_PLATFORMS")
+if _env_platforms:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _env_platforms)

@@ -25,17 +25,29 @@ def _find_lib():
     _TRIED = True
     cand = Path(__file__).resolve().parents[2] / "native" / "libgslam_native.so"
     if not cand.exists():
-        # The .so is not committed; build it in-tree at first use.
+        # The .so is not committed; build it in-tree at first use. _TRIED
+        # caches the outcome either way so a failed build is attempted at
+        # most once per process, with a visible diagnostic.
+        import logging
         import subprocess
 
+        log = logging.getLogger("gslam_tpu.io.native")
         try:
-            subprocess.run(
+            proc = subprocess.run(
                 ["make", "-C", str(cand.parent)], capture_output=True,
                 timeout=120,
             )
-        except Exception:
+        except Exception as e:
+            log.warning("native loader build failed (%s); using the "
+                        "pure-Python fallback", e)
             return None
-        if not cand.exists():
+        if proc.returncode != 0 or not cand.exists():
+            log.warning(
+                "native loader build failed (rc=%d); using the pure-Python "
+                "fallback. stderr tail: %s",
+                proc.returncode,
+                proc.stderr.decode(errors="replace")[-500:],
+            )
             return None
     lib = ctypes.CDLL(str(cand))
     lib.gs_png_info.argtypes = [ctypes.c_char_p] + [

@@ -384,6 +384,32 @@ def render_view_stats(
 
 
 @partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def eval_views(
+    gmap: GaussianMap,
+    poses: jax.Array,  # [B, 4, 4]
+    gt_imgs: jax.Array,  # [B, H, W, 3]
+    K: jax.Array,
+    width: int,
+    height: int,
+    cfg: MapConfig = MapConfig(),
+) -> tuple[jax.Array, jax.Array]:
+    """Batched end-of-run reconstruction scoring: render B views from the
+    final map and compute per-view PSNR and SSIM in ONE program (the
+    reference re-renders one view per step in a host loop,
+    frontend.py:374-409 — a per-dispatch disaster on this transport)."""
+    out = render_impl(
+        **gmap.render_kwargs(),
+        viewmats=poses, Ks=jnp.tile(K[None], (poses.shape[0], 1, 1)),
+        width=width, height=height,
+        bg_rgb=jnp.asarray(cfg.background, jnp.float32), cfg=cfg.render,
+    )
+    rendered = jnp.clip(out.rgb, 0.0, 1.0)
+    mse = jnp.mean((rendered - gt_imgs) ** 2, axis=(1, 2, 3))
+    psnr = 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))
+    return psnr, ssim_per_image(rendered, gt_imgs)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg"))
 def visibility_pass(
     gmap: GaussianMap,
     poses: jax.Array,  # [B, 4, 4]

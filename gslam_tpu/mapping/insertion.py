@@ -53,6 +53,8 @@ class InsertResult(NamedTuple):
     gmap: GaussianMap
     opt_state: MaskedAdamState
     n_inserted: jax.Array  # [] int32
+    n_requested: jax.Array  # [] int32 candidates that passed the filters;
+    # n_requested - n_inserted were dropped for lack of free slots
 
 
 def _scatter_new_splats(
@@ -84,7 +86,11 @@ def _scatter_new_splats(
         alive=gmap.alive.at[slots].set(True, mode="drop"),
     )
     opt_state = zero_state_at(opt_state, slots)
-    return InsertResult(gmap, opt_state, jnp.sum(ok.astype(jnp.int32)))
+    return InsertResult(
+        gmap, opt_state,
+        n_inserted=jnp.sum(ok.astype(jnp.int32)),
+        n_requested=jnp.sum(keep.astype(jnp.int32)),
+    )
 
 
 @partial(jax.jit, static_argnames=("n_new", "cfg"))

@@ -164,6 +164,10 @@ def restore_system(path, system):
         for k, v in data.items() if k.startswith("gmap/")
     }
     be.gmap = GaussianMap(**gmap_fields)
+    # The checkpointed buffer may have grown beyond the configured capacity;
+    # keep the actor's bookkeeping consistent or _maybe_grow computes a
+    # new_cap smaller than the restored buffer and grow_map raises.
+    be.capacity = be.gmap.capacity
     mu = {k.split("/", 1)[1]: jnp.asarray(v)
           for k, v in data.items() if k.startswith("adam_mu/")}
     nu = {k.split("/", 1)[1]: jnp.asarray(v)
@@ -176,6 +180,7 @@ def restore_system(path, system):
         for k, v in data.items() if k.startswith("kf/")
     }
     be.kf = type(be.kf)(**kf_fields)
+    be.kf_capacity = be.kf.capacity
     be.pose_opt = PoseAdamState(
         mu=jnp.asarray(data["pose_opt/mu"]),
         nu=jnp.asarray(data["pose_opt/nu"]),

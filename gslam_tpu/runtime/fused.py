@@ -33,12 +33,20 @@ Behavioral parity with the actor pipeline (and the reference):
   * pruning: low-opacity / large-radius / optional ill-conditioned masks
     after each pass (reference backend.py:364-391).
 
+  * pose graph (enable_pgo): per-keyframe visibility snapshots, consecutive
+    + IoU>kf_cov loop-closure edges over the slot adjacency matrix, and
+    recent+fan-out window selection — all as fixed-shape device state
+    (reference backend.py:675-737,193-247).
+  * gradient densification: duplicate/split by dL/dmeans2d norm when a
+    frame's pass crosses a multiple of densify_every total steps
+    (reference backend.py:330-338).
+
 Deviations (documented): the frontend tracks against the live map rather
-than a 5-frame-stale synced snapshot (strictly fresher); gradient-based
-densification (reference backend.py:330-338, fires every 200th step) and
-PGO window fan-out run only in the actor runtime; per-frame rerun/disk
-telemetry requires host transfers and therefore lives in the actor
-runtime too.
+than a 5-frame-stale synced snapshot (strictly fresher); PGO fan-out picks
+the first k graph neighbors instead of random sampling; densification uses
+the final iteration's gradients post-pass instead of mid-pass; per-frame
+rerun/disk telemetry requires host transfers and therefore lives in the
+actor runtime.
 """
 
 from __future__ import annotations
@@ -58,7 +66,9 @@ from gslam_tpu.mapping.backend_ops import (
     mapping_step,
 )
 from gslam_tpu.mapping.gaussians import GaussianMap, empty_map
-from gslam_tpu.mapping.insertion import InsertionConfig, insert_from_depthmap
+from gslam_tpu.mapping.insertion import (
+    InsertionConfig, densify_by_gradients, insert_from_depthmap,
+)
 from gslam_tpu.mapping.keyframes import KeyframeStore, add_keyframe, empty_keyframes
 from gslam_tpu.mapping.optimizer import MaskedAdamState, init_adam
 from gslam_tpu.mapping import pruning
@@ -68,6 +78,7 @@ from gslam_tpu.tracking.track import TrackingConfig, track_frame_impl
 _insert_impl = insert_from_depthmap.__wrapped__
 _kd_stats_impl = keyframe_decision_stats.__wrapped__
 _map_step_impl = mapping_step.__wrapped__
+_densify_impl = densify_by_gradients.__wrapped__
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,6 +91,10 @@ class FusedConfig:
     idle_iters: int = 15  # mapping iterations per frame (idle passes)
     compact_every: int = 32  # frames between in-place live-slot compactions
     use_gt_depths: bool = False
+    # "while" = lax.while_loop with plateau early-exit (fewest iterations);
+    # "fori" = static trip count with a cond-skipped body (identical result,
+    # scan-friendly control flow — see docs/PERF.md on the slam_scan fault).
+    mapping_loop: str = "while"
 
     @property
     def insertion(self) -> InsertionConfig:
@@ -111,6 +126,11 @@ class FusedState(NamedTuple):
     plateau_count: jax.Array  # [] int32 consecutive decreasing-low steps
     total_map_iters: jax.Array  # [] int32
     max_pairs: jax.Array  # [] int32 overflow telemetry
+    inserted_total: jax.Array  # [] int32 splats actually scattered
+    dropped_total: jax.Array  # [] int32 candidates lost to a full buffer
+    kf_vis: jax.Array  # [kf_cap, cap] bool per-keyframe splat visibility
+    # snapshots for covisibility loop closure ([kf_cap, 1] dummy w/o PGO)
+    adj: jax.Array  # [kf_cap, kf_cap] bool pose-graph adjacency over slots
     key: jax.Array  # PRNG
 
 
@@ -120,6 +140,7 @@ def init_fused_state(
 ) -> FusedState:
     gmap = empty_map(capacity)
     F = cfg.max_frames
+    vis_cols = capacity if cfg.mapping.enable_pgo else 1
     return FusedState(
         gmap=gmap,
         opt_state=init_adam(gmap),
@@ -137,8 +158,23 @@ def init_fused_state(
         plateau_count=jnp.int32(0),
         total_map_iters=jnp.int32(0),
         max_pairs=jnp.int32(0),
+        inserted_total=jnp.int32(0),
+        dropped_total=jnp.int32(0),
+        kf_vis=jnp.zeros((kf_capacity, vis_cols), bool),
+        adj=jnp.zeros((kf_capacity, kf_capacity), bool),
         key=jax.random.PRNGKey(seed),
     )
+
+
+def ring_slot(k, kf_cap: int):
+    """Keyframe-store slot of the k-th keyframe (ordinal, 0-based).
+
+    Slot 0 is reserved for the bootstrap keyframe — the gauge anchor whose
+    pose stays frozen (frame_idx == 0 in mapping_step; reference
+    backend.py:457-470) — and is never evicted. Later keyframes rotate
+    through slots 1..kf_cap-1, evicting the oldest non-initial keyframe,
+    matching the actor policy (runtime/backend.py:286-294)."""
+    return jnp.where(k == 0, 0, 1 + (k - 1) % (kf_cap - 1)).astype(jnp.int32)
 
 
 def constant_motion_prior(pose_a, pose_b):
@@ -180,7 +216,7 @@ def slam_step_impl(
     pose, exposure, tloss = jax.lax.cond(i > 0, do_track, no_track)
 
     # ---- keyframe decision (reference backend.py:739-792) ----
-    last_slot = jnp.maximum(state.kf_count - 1, 0) % kf_cap
+    last_slot = ring_slot(jnp.maximum(state.kf_count - 1, 0), kf_cap)
     prev_kf_pose = state.kf.poses()[last_slot]
     stats = _kd_stats_impl(state.gmap, pose, prev_kf_pose, K, width, height,
                            mcfg)
@@ -191,7 +227,7 @@ def slam_step_impl(
     )
 
     # ---- conditional insertion ----
-    slot = state.kf_count % kf_cap
+    slot = ring_slot(state.kf_count, kf_cap)
     k_a, k_b, k_next = jax.random.split(state.key, 3)
     icfg = cfg.insertion
     gt_arg = gt_depth if cfg.use_gt_depths else None
@@ -207,22 +243,27 @@ def slam_step_impl(
             image, K, pose, n_new=cfg.init_n_new, frame_index=i, cfg=icfg,
             gt_depthmap=gt_arg,
         )
-        return r.gmap, r.opt_state
+        return r.gmap, r.opt_state, r.n_inserted, r.n_requested
 
     def ins_kf():
+        # The occlusion filter only engages once a second keyframe exists:
+        # the bootstrap keyframe's est_depth was rendered against an empty
+        # map, so testing candidates against it is meaningless (the actor
+        # gates identically; runtime/backend.py:361-368).
+        filt_mask = state.kf.mask & (state.kf_count > 1)
         r = _insert_impl(
             k_b, state.gmap, state.opt_state,
             stats.new_depth * mcfg.initial_scale, stats.new_alpha,
             image, K, pose, n_new=cfg.kf_n_new, frame_index=i, cfg=icfg,
             kf_viewmats=state.kf.poses(), kf_est_depths=state.kf.est_depths,
-            kf_mask=state.kf.mask, gt_depthmap=gt_arg,
+            kf_mask=filt_mask, gt_depthmap=gt_arg,
         )
-        return r.gmap, r.opt_state
+        return r.gmap, r.opt_state, r.n_inserted, r.n_requested
 
     def ins_none():
-        return state.gmap, state.opt_state
+        return state.gmap, state.opt_state, jnp.int32(0), jnp.int32(0)
 
-    gmap, opt_state = jax.lax.cond(
+    gmap, opt_state, n_ins, n_req = jax.lax.cond(
         i == 0, ins_init, lambda: jax.lax.cond(take, ins_kf, ins_none)
     )
 
@@ -238,18 +279,52 @@ def slam_step_impl(
             nu=po.nu.at[slot].set(0.0),
             count=po.count.at[slot].set(0),
         )
-        return kf2, po2, state.kf_count + 1
+        if mcfg.enable_pgo:
+            # visibility snapshot for this keyframe + consecutive-keyframe
+            # covisibility edge (reference backend.py:672-673); the slot
+            # being overwritten loses all its old edges first.
+            vis2 = state.kf_vis.at[slot].set(stats.new_visible)
+            adj2 = state.adj.at[slot, :].set(False).at[:, slot].set(False)
+            is_consec = state.kf_count > 0
+            adj2 = adj2.at[slot, last_slot].set(is_consec)
+            adj2 = adj2.at[last_slot, slot].set(is_consec)
+        else:
+            vis2, adj2 = state.kf_vis, state.adj
+        return kf2, po2, state.kf_count + 1, vis2, adj2
 
     def keep_kf():
-        return state.kf, state.pose_opt, state.kf_count
+        return (state.kf, state.pose_opt, state.kf_count, state.kf_vis,
+                state.adj)
 
-    kf, pose_opt, kf_count = jax.lax.cond(take, write_kf, keep_kf)
+    kf, pose_opt, kf_count, kf_vis, adj = jax.lax.cond(take, write_kf, keep_kf)
 
-    # ---- optimization window: last `window_size` keyframes of the ring ----
-    offs = jnp.arange(mcfg.window_size, dtype=jnp.int32)
+    # ---- optimization window ----
+    # Plain mode: the last `window_size` keyframes of the ring. With PGO:
+    # the last `recent_window` keyframes plus pose-graph neighbors of the
+    # newest keyframe (reference backend.py:193-247 fan-out; deterministic
+    # first-k selection instead of the reference's random sampling).
+    n_recent = mcfg.recent_window if mcfg.enable_pgo else mcfg.window_size
+    offs = jnp.arange(n_recent, dtype=jnp.int32)
     ki = kf_count - 1 - offs
-    wmask = ki >= 0
-    widx = jnp.where(wmask, ki % kf_cap, 0).astype(jnp.int32)
+    # ordinal ki is still resident iff it is the anchor (0) or among the
+    # last kf_cap-1 keyframes (ring eviction of non-initial slots)
+    resident = (ki == 0) | (ki >= kf_count - (kf_cap - 1))
+    rmask = (ki >= 0) & resident
+    rslots = jnp.where(rmask, ring_slot(jnp.maximum(ki, 0), kf_cap), 0)
+    if mcfg.enable_pgo:
+        newest = ring_slot(jnp.maximum(kf_count - 1, 0), kf_cap)
+        in_recent = jnp.zeros((kf_cap,), bool).at[
+            jnp.where(rmask, rslots, kf_cap)
+        ].set(True, mode="drop")
+        cand = adj[newest] & ~in_recent & kf.mask
+        n_extra = mcfg.window_size - n_recent
+        extra = jnp.nonzero(cand, size=n_extra, fill_value=kf_cap)[0]
+        emask = extra < kf_cap
+        widx = jnp.concatenate(
+            [rslots, jnp.where(emask, extra, 0).astype(jnp.int32)])
+        wmask = jnp.concatenate([rmask, emask])
+    else:
+        widx, wmask = rslots, rmask
 
     # ---- mapping pass: while_loop with plateau early-exit ----
     n_iters = jnp.where(i == 0, mcfg.num_iters_init, cfg.idle_iters)
@@ -261,6 +336,7 @@ def slam_step_impl(
         jnp.int32(0), paused0, state.plateau_last, state.plateau_count,
         jnp.zeros((mcfg.window_size, cap), jnp.float32),  # last radii
         jnp.zeros((mcfg.window_size, cap), jnp.int32),  # last n_touched
+        jnp.zeros((mcfg.window_size, cap, 2), jnp.float32),  # last dL/dm2d
         state.max_pairs,
     )
 
@@ -269,7 +345,7 @@ def slam_step_impl(
         return (it < n_iters) & ~paused
 
     def loop_body(c):
-        g, o, k2, p, it, paused, last, cnt, _r, _t, mp = c
+        g, o, k2, p, it, paused, last, cnt, _r, _t, _g2, mp = c
         g, o, k2, p, aux = _map_step_impl(
             g, o, k2, p, widx, wmask, K, width, height, mcfg)
         loss = aux.photometric_loss
@@ -280,13 +356,54 @@ def slam_step_impl(
         paused = paused | (low & (cnt >= mcfg.plateau_patience))
         mp = jnp.maximum(mp, jnp.max(aux.n_pairs).astype(jnp.int32))
         return (g, o, k2, p, it + 1, paused, loss,
-                cnt, aux.radii, aux.n_touched, mp)
+                cnt, aux.radii, aux.n_touched, aux.means2d_grad, mp)
 
+    if cfg.mapping_loop == "fori":
+        # Static trip count with a cond-skipped body: bitwise-identical
+        # result to the while_loop (skipped iterations are the identity),
+        # but scan-friendly control flow for the chunked dispatch path.
+        n_static = max(mcfg.num_iters_init, cfg.idle_iters)
+
+        def fori_body(_, c):
+            return jax.lax.cond(loop_cond(c), loop_body, lambda x: x, c)
+
+        carry = jax.lax.fori_loop(0, n_static, fori_body, carry0)
+    else:
+        carry = jax.lax.while_loop(loop_cond, loop_body, carry0)
     (gmap, opt_state, kf, pose_opt, it_done, paused, plast, pcnt,
-     radii, n_touched, max_pairs) = jax.lax.while_loop(
-        loop_cond, loop_body, carry0)
+     radii, n_touched, m2d_grad, max_pairs) = carry
 
-    # ---- pruning (reference backend.py:364-391); only after real passes ----
+    total_iters = state.total_map_iters + it_done
+
+    # ---- gradient-driven densification (reference backend.py:330-338):
+    # fires when this frame's pass crossed a multiple of densify_every
+    # total optimization steps, using the final iteration's dL/dmeans2d
+    # (the actor densifies mid-pass; cadence-equivalent deviation). ----
+    densified = jnp.array(False)
+    if mcfg.densify_every > 0:
+        k_dens, k_next = jax.random.split(k_next)
+        densified = (it_done > 0) & (
+            (state.total_map_iters // mcfg.densify_every)
+            != (total_iters // mcfg.densify_every)
+        )
+
+        def do_densify():
+            r = _densify_impl(
+                k_dens, gmap, opt_state, m2d_grad, width, height,
+                mcfg.densify_max_new, i,
+                grow_grad2d=mcfg.grow_grad2d,
+                grow_scale3d=mcfg.grow_scale3d,
+            )
+            return r.gmap, r.opt_state, r.n_inserted, r.n_requested
+
+        gmap, opt_state, d_ins, d_req = jax.lax.cond(
+            densified, do_densify,
+            lambda: (gmap, opt_state, jnp.int32(0), jnp.int32(0)),
+        )
+        n_ins, n_req = n_ins + d_ins, n_req + d_req
+
+    # ---- pruning (reference backend.py:364-391); only after real passes,
+    # and never on a pass that just densified (actor sets prune=False) ----
     def do_prune():
         remove = pruning.low_opacity_mask(gmap, mcfg.opacity_prune_threshold)
         remove = remove | pruning.large_radius_mask(
@@ -299,7 +416,28 @@ def slam_step_impl(
             )
         return pruning.apply_prune(gmap, remove)
 
-    gmap = jax.lax.cond(it_done > 0, do_prune, lambda: gmap)
+    gmap = jax.lax.cond((it_done > 0) & ~densified, do_prune, lambda: gmap)
+
+    if mcfg.enable_pgo:
+        # Refresh visibility snapshots for the window keyframes from the
+        # final mapping iteration, then recompute covisibility loop-closure
+        # edges by IoU > kf_cov over all resident pairs (reference
+        # backend.py:675-737, add_pgo_constraints on each keyframe add).
+        vis_w = jnp.where(wmask[:, None], radii > 0, False)
+        kf_vis = kf_vis.at[jnp.where(wmask, widx, kf_cap)].set(
+            vis_w, mode="drop")
+
+        def close_loops(a):
+            vf = kf_vis.astype(jnp.float32)
+            inter = jnp.matmul(vf, vf.T, precision=HIGH)
+            counts = jnp.sum(vf, axis=1)
+            union = counts[:, None] + counts[None, :] - inter
+            iou = inter / jnp.maximum(union, 1.0)
+            valid = kf.mask[:, None] & kf.mask[None, :]
+            eye = jnp.eye(kf_cap, dtype=bool)
+            return a | ((iou > mcfg.kf_cov) & valid & ~eye)
+
+        adj = jax.lax.cond(take, close_loops, lambda a: a, adj)
 
     # periodic in-place live-slot compaction (SURVEY 5.7 north star):
     # pure permutation, keeps the live set a dense prefix at any capacity
@@ -323,8 +461,11 @@ def slam_step_impl(
         kf_flags=state.kf_flags.at[i].set(take),
         exposure=exposure,
         paused=paused, plateau_last=plast, plateau_count=pcnt,
-        total_map_iters=state.total_map_iters + it_done,
+        total_map_iters=total_iters,
         max_pairs=max_pairs,
+        inserted_total=state.inserted_total + n_ins,
+        dropped_total=state.dropped_total + (n_req - n_ins),
+        kf_vis=kf_vis, adj=adj,
         key=k_next,
     )
 
@@ -368,12 +509,23 @@ class FusedSlam:
 
     def run(self, dataset, chunk: int = 16, eval_stride: int = 0,
             sync_every: int = 8) -> dict:
-        """chunk > 1 folds frames with lax.scan (fewest dispatches; on the
-        current axon TPU stack deep scan nesting can fault the worker, so
-        chip runs should use chunk=1). chunk == 1 dispatches slam_step per
-        frame and reads back one scalar every `sync_every` frames to bound
-        the transport backlog."""
+        """chunk > 1 folds frames with lax.scan (fewest dispatches);
+        chunk == 1 dispatches slam_step per frame. Either way, one scalar
+        is read back every `sync_every` frames to bound the transport
+        backlog: letting many multi-second dispatches pile up unsynced
+        crashes the axon TPU worker outright (docs/PERF.md rule 3 — this
+        killed the first r3 flagship attempt at 30 enqueued chunks).
+        sync_every=0 disables the bound (CPU / small runs only)."""
         H, W = self.height, self.width
+        try:
+            n_ds = len(dataset)
+        except TypeError:
+            n_ds = None
+        if n_ds is not None and n_ds > self.cfg.max_frames:
+            raise ValueError(
+                f"dataset has {n_ds} frames but cfg.max_frames="
+                f"{self.cfg.max_frames}; trajectory buffers would silently "
+                "truncate — raise FusedConfig.max_frames")
         state = init_fused_state(
             self.cfg, self.capacity, self.kf_capacity, H, W, self.seed)
         K = jnp.asarray(dataset.camera.K, jnp.float32)
@@ -381,19 +533,28 @@ class FusedSlam:
         frames_meta = []  # (index, timestamp, gt_pose) host-side only
         t_start = time.time()
         buf_imgs, buf_depths = [], []
+        unsynced = 0  # frames dispatched since the last backlog sync
 
         def flush():
-            nonlocal state, buf_imgs, buf_depths
+            nonlocal state, buf_imgs, buf_depths, unsynced
             if not buf_imgs:
                 return
             imgs = jnp.asarray(np.stack(buf_imgs), jnp.float32)
             deps = jnp.asarray(np.stack(buf_depths), jnp.float32)
             state = slam_scan(state, imgs, deps, K, W, H, self.cfg)
+            unsynced += len(buf_imgs)
             buf_imgs, buf_depths = [], []
+            if sync_every and unsynced >= sync_every:
+                int(state.frame_count)  # bound the dispatch backlog
+                unsynced = 0
 
         zeros_depth = np.zeros((H, W), np.float32)
         for frame in iter(dataset):
             frames_meta.append((frame.index, frame.timestamp, frame.gt_pose))
+            if len(frames_meta) > self.cfg.max_frames:
+                raise ValueError(
+                    f"stream exceeded cfg.max_frames={self.cfg.max_frames}; "
+                    "trajectory buffers would silently truncate")
             depth = (
                 np.asarray(frame.gt_depth, np.float32)
                 if frame.gt_depth is not None else zeros_depth
@@ -426,6 +587,10 @@ class FusedSlam:
             "fps_wall": n / wall if wall > 0 else 0.0,
             "total_map_iters": int(state.total_map_iters),
             "max_pairs_seen": int(state.max_pairs),
+            "inserted_total": int(state.inserted_total),
+            "dropped_inserts": int(state.dropped_total),
+            **({"n_pgo_edges": int(jnp.sum(state.adj)) // 2}
+               if self.cfg.mapping.enable_pgo else {}),
             "track_losses_mean": float(np.mean(
                 np.asarray(state.track_losses[1:n]))) if n > 1 else 0.0,
             "kf_frames": np.nonzero(np.asarray(state.kf_flags[:n]))[0].tolist(),
@@ -445,28 +610,37 @@ class FusedSlam:
             self._evaluate_renders(dataset, traj, eval_stride, metrics)
         return metrics
 
-    def _evaluate_renders(self, dataset, traj, stride, metrics):
+    def _evaluate_renders(self, dataset, traj, stride, metrics,
+                          batch: int = 16):
         """Re-render every stride-th frame from the final map and score
         PSNR/SSIM against the dataset images (the run is over; readbacks
-        are allowed now)."""
-        from gslam_tpu.eval.metrics import psnr
-        from gslam_tpu.mapping.backend_ops import render_view_stats
-        from gslam_tpu.ops.ssim import ssim as ssim_fn
+        are allowed now). Views are scored in fixed-size batched programs —
+        one dispatch per `batch` views instead of one per view."""
+        from gslam_tpu.mapping.backend_ops import eval_views
 
         K = jnp.asarray(dataset.camera.K, jnp.float32)
-        psnrs, ssims = [], []
+        poses, imgs = [], []
         for frame in iter(dataset):
             if frame.index % stride != 0 or frame.index >= len(traj):
                 continue
-            vs = render_view_stats(
-                self.final_state.gmap, jnp.asarray(traj[frame.index]), K,
+            poses.append(traj[frame.index])
+            imgs.append(np.asarray(frame.image, np.float32))
+        psnrs, ssims = [], []
+        for c0 in range(0, len(poses), batch):
+            p = np.stack(poses[c0:c0 + batch])
+            g = np.stack(imgs[c0:c0 + batch])
+            n = len(p)
+            if n < batch:  # pad to the compiled batch shape
+                p = np.concatenate(
+                    [p, np.tile(np.eye(4, dtype=np.float32), (batch - n, 1, 1))])
+                g = np.concatenate(
+                    [g, np.zeros((batch - n,) + g.shape[1:], np.float32)])
+            ps, ss = eval_views(
+                self.final_state.gmap, jnp.asarray(p), jnp.asarray(g), K,
                 self.width, self.height, self.cfg.mapping,
             )
-            rendered = np.clip(np.asarray(vs.rgb), 0, 1)
-            img = np.asarray(frame.image, np.float32)
-            psnrs.append(psnr(rendered, img))
-            ssims.append(float(ssim_fn(
-                jnp.asarray(rendered)[None], jnp.asarray(img)[None])))
+            psnrs.extend(np.asarray(ps)[:n].tolist())
+            ssims.extend(np.asarray(ss)[:n].tolist())
         if psnrs:
             metrics["psnr"] = float(np.mean(psnrs))
             metrics["ssim"] = float(np.mean(ssims))

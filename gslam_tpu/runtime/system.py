@@ -191,14 +191,16 @@ class SlamSystem:
                 fe.apply_sync(sync_box.get())
         done.set()
         bt.join(timeout=600.0)
+        if bt.is_alive():
+            raise RuntimeError(
+                "backend thread failed to finish within 600 s — metrics "
+                "would reflect a partially-optimized map")
 
     # ------------- evaluation / teardown -------------
 
     def finalize(self, wall_time: float) -> dict:
         from gslam_tpu.eval.trajectory import ate_rmse, plot_trajectories
-        from gslam_tpu.eval.metrics import psnr
-        from gslam_tpu.mapping.backend_ops import render_view_stats
-        from gslam_tpu.ops.ssim import ssim as ssim_fn
+        from gslam_tpu.mapping.backend_ops import eval_views
         import jax.numpy as jnp
 
         fe, be = self.frontend, self.backend
@@ -236,23 +238,43 @@ class SlamSystem:
                 kf_ids = sorted(be.frame_slot.keys())
                 plot_trajectories(gt_t, est_t, self.run_dir / "traj.png", kf_ids)
 
-        # re-render every k-th tracked frame from the final map
+        # re-render every k-th tracked frame from the final map, scored in
+        # fixed-size batched programs (one dispatch per `batch` views)
         psnrs, ssims = [], []
         eval_frames = [
             f for f in fe.frames[:: self.cfg.eval_stride]
             if f.est_pose is not None
         ]
         gmap = be.gmap
-        for f, img in self._eval_images(eval_frames):
-            vs = render_view_stats(
-                gmap, jnp.asarray(f.est_pose), self.backend.K,
+        batch = 16
+        pose_buf, img_buf = [], []
+
+        def flush_eval():
+            if not pose_buf:
+                return
+            n = len(pose_buf)
+            p = np.stack(pose_buf)
+            g = np.stack(img_buf)
+            if n < batch:
+                p = np.concatenate(
+                    [p, np.tile(np.eye(4, dtype=np.float32), (batch - n, 1, 1))])
+                g = np.concatenate(
+                    [g, np.zeros((batch - n,) + g.shape[1:], np.float32)])
+            ps, ss = eval_views(
+                gmap, jnp.asarray(p), jnp.asarray(g), self.backend.K,
                 self.width, self.height, self.cfg.mapping,
             )
-            rendered = np.clip(np.asarray(vs.rgb), 0, 1)
-            psnrs.append(psnr(rendered, img))
-            ssims.append(
-                float(ssim_fn(jnp.asarray(rendered)[None], jnp.asarray(img)[None]))
-            )
+            psnrs.extend(np.asarray(ps)[:n].tolist())
+            ssims.extend(np.asarray(ss)[:n].tolist())
+            pose_buf.clear()
+            img_buf.clear()
+
+        for f, img in self._eval_images(eval_frames):
+            pose_buf.append(np.asarray(f.est_pose, np.float32))
+            img_buf.append(np.asarray(img, np.float32))
+            if len(pose_buf) == batch:
+                flush_eval()
+        flush_eval()
         if psnrs:
             metrics["psnr"] = float(np.mean(psnrs))
             metrics["ssim"] = float(np.mean(ssims))

@@ -28,7 +28,7 @@ def build_parser():
     p.add_argument("--scene", type=str, default=None, help="dataset directory")
     p.add_argument(
         "--dataset",
-        choices=["tum", "replica", "synthetic", "video", "oak"],
+        choices=["tum", "replica", "synthetic", "npz", "video", "oak"],
         default="tum",
     )
     p.add_argument("--seq-len", type=int, default=-1)
@@ -40,6 +40,7 @@ def build_parser():
                    help="synthetic scene splat count")
     p.add_argument("--motion-scale", type=float, default=0.02,
                    help="synthetic per-frame motion scale")
+    p.add_argument("--seed", type=int, default=0, help="synthetic scene seed")
     p.add_argument("--capacity", type=int, default=2**17, help="max splats")
     p.add_argument("--kf-capacity", type=int, default=64)
     p.add_argument("--use-gt-depths", action="store_true")
@@ -64,7 +65,12 @@ def build_parser():
                    default="null",
                    help="per-frame streaming telemetry sink")
     p.add_argument("--resume", type=str, default=None,
-                   help="checkpoint .npz to resume from")
+                   help="checkpoint .npz to resume from (actor runtime only)")
+    p.add_argument("--eval-stride", type=int, default=4,
+                   help="evaluate PSNR/SSIM on every k-th frame at the end")
+    p.add_argument("--sync-every", type=int, default=8,
+                   help="--fused chunk=1: read one scalar back every N frames "
+                        "to bound the dispatch backlog (0 = never)")
     p.add_argument("--set", action="append", default=[], metavar="PATH=VALUE",
                    help="override any nested config field, e.g. mapping.ssim_weight=0.1")
     return p
@@ -131,7 +137,7 @@ def main(argv=None):
     if args.dataset == "synthetic":
         ds_kwargs.update(
             width=args.width, height=args.height, n_splats=args.n_splats,
-            motion_scale=args.motion_scale,
+            motion_scale=args.motion_scale, seed=args.seed,
         )
     dataset = build_dataset(args.dataset, args.scene, args.seq_len, **ds_kwargs)
     cam = dataset.camera if dataset.camera is not None else dataset[0].camera
@@ -157,12 +163,17 @@ def main(argv=None):
         capacity=args.capacity,
         kf_capacity=args.kf_capacity,
         synchronous=not args.threaded,
+        eval_stride=args.eval_stride,
         telemetry=args.telemetry,
         run_dir=str(run_dir),
     )
     cfg = apply_overrides(cfg, args.set)
 
     if args.fused:
+        if args.resume:
+            raise SystemExit(
+                "--resume is only supported by the actor runtime; "
+                "drop --fused or --resume")
         import numpy as np
 
         from gslam_tpu.runtime.fused import FusedConfig, FusedSlam
@@ -173,10 +184,13 @@ def main(argv=None):
             init_n_new=args.init_n_new, kf_n_new=args.kf_n_new,
             idle_iters=cfg.mapping.num_iters_mapping,
             use_gt_depths=args.use_gt_depths,
+            mapping_loop="fori" if args.chunk > 1 else "while",
         )
         slam = FusedSlam(fcfg, cam.width, cam.height,
                          capacity=cfg.capacity, kf_capacity=cfg.kf_capacity)
-        metrics = slam.run(dataset, chunk=args.chunk, eval_stride=4)
+        metrics = slam.run(dataset, chunk=args.chunk,
+                           eval_stride=args.eval_stride,
+                           sync_every=args.sync_every)
         (run_dir / "metrics.json").write_text(json.dumps(metrics, indent=2))
         np.save(run_dir / "trajectory.npy", slam.trajectory)
         print(json.dumps(metrics, indent=2))

@@ -21,8 +21,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Compilation in this environment is very slow; persist compiled executables
-# across test processes.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+# across test processes. The cache dir is keyed by the host's CPU feature
+# set: XLA:CPU AOT executables compiled on a machine with different ISA
+# extensions segfault when loaded (observed across container hosts).
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next((ln for ln in f if ln.startswith("flags")), "")
+    _cpu_key = hashlib.sha1(_flags.encode()).hexdigest()[:8]
+except OSError:
+    _cpu_key = "nohost"
+jax.config.update(
+    "jax_compilation_cache_dir", f"/root/repo/.jax_cache_cpu/{_cpu_key}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -33,16 +33,118 @@ def test_fused_slam_end_to_end(tmp_path):
     readback point at the end."""
     ds = SyntheticDataset(seq_len=8, width=80, height=60, n_splats=600,
                           seed=3, motion_scale=0.015)
-    slam = FusedSlam(small_fused_cfg(), 80, 60, capacity=2048,
-                     kf_capacity=8, seed=0)
+    # 1500 bootstrap splats give tracking a dense enough map for cm-level
+    # ATE; kf_m=0.04 keeps keyframes triggering on the ~1.5 cm/frame walk
+    # (the default 0.15*median_depth never trips on this short sequence).
+    cfg = small_fused_cfg(
+        init_n_new=1500,
+        mapping=MapConfig(window_size=4, recent_window=4, num_iters_init=40,
+                          num_iters_mapping=5, kf_m=0.04, render=RCFG),
+    )
+    slam = FusedSlam(cfg, 80, 60, capacity=4096, kf_capacity=8, seed=0)
     m = slam.run(ds, chunk=4)
     assert m["L"] == 8
     assert m["C"] >= 2, m
     assert m["N"] > 100, m
-    assert np.isfinite(m["ate"]) and m["ate"] < 0.2, m
+    # measured 0.047 on this scene (CPU); band leaves float-reassociation
+    # headroom while still catching real regressions (was 0.2 in round 2)
+    assert np.isfinite(m["ate"]) and m["ate"] < 0.06, m
     assert m["total_map_iters"] > 0
     # frame 0 is always a keyframe (bootstrap)
     assert 0 in m["kf_frames"]
+
+
+def test_fused_ring_never_evicts_anchor():
+    """With kf_capacity=4 and more keyframes than slots, the bootstrap
+    keyframe (the gauge anchor, frame_idx 0) must stay resident in slot 0
+    with an untouched pose delta, matching the actor backend's
+    evict-oldest-non-initial policy (runtime/backend.py:286-294)."""
+    ds = SyntheticDataset(seq_len=10, width=64, height=48, n_splats=400,
+                          seed=5, motion_scale=0.06)  # aggressive motion
+    cfg = small_fused_cfg(
+        max_frames=16,
+        mapping=MapConfig(window_size=3, recent_window=3, num_iters_init=30,
+                          num_iters_mapping=3, kf_m=0.01, render=RCFG),
+    )
+    slam = FusedSlam(cfg, 64, 48, capacity=2048, kf_capacity=4, seed=0)
+    m = slam.run(ds, chunk=1, sync_every=0)
+    assert m["C"] > 4, f"needs ring wrap to be meaningful: {m}"
+    kf = slam.final_state.kf
+    # anchor resident in slot 0 with its pose delta never optimized
+    assert int(kf.frame_idx[0]) == 0
+    np.testing.assert_array_equal(np.asarray(kf.d_rot6[0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(kf.d_t[0]), 0.0)
+    # later keyframes rotated through slots 1..3 only
+    assert all(int(f) != 0 for f in np.asarray(kf.frame_idx[1:]))
+
+
+def test_fused_fori_matches_while():
+    """mapping_loop='fori' (static trip count, cond-skipped body) must be
+    numerically identical to the while_loop plateau early-exit."""
+    ds = SyntheticDataset(seq_len=6, width=64, height=48, n_splats=400,
+                          seed=4, motion_scale=0.01)
+    a = FusedSlam(small_fused_cfg(max_frames=8), 64, 48, capacity=1024,
+                  kf_capacity=8, seed=0)
+    ma = a.run(ds, chunk=1, sync_every=0)
+    ds2 = SyntheticDataset(seq_len=6, width=64, height=48, n_splats=400,
+                           seed=4, motion_scale=0.01)
+    b = FusedSlam(small_fused_cfg(max_frames=8, mapping_loop="fori"), 64, 48,
+                  capacity=1024, kf_capacity=8, seed=0)
+    mb = b.run(ds2, chunk=1, sync_every=0)
+    # The two loop forms compile to different XLA programs, so float
+    # reassociation drifts ~1e-3 over a multi-frame optimization; semantics
+    # (keyframe decisions, iteration counts incl. plateau exits) must agree
+    # exactly.
+    np.testing.assert_allclose(a.trajectory, b.trajectory, atol=1e-2)
+    assert ma["C"] == mb["C"]
+    assert ma["total_map_iters"] == mb["total_map_iters"]
+    assert ma["kf_frames"] == mb["kf_frames"]
+
+
+def test_fused_overflow_counters():
+    """A buffer too small for the requested insertions surfaces dropped
+    candidates in the metrics instead of silently saturating."""
+    ds = SyntheticDataset(seq_len=3, width=64, height=48, n_splats=400,
+                          seed=4, motion_scale=0.01)
+    cfg = small_fused_cfg(max_frames=8, init_n_new=400)
+    slam = FusedSlam(cfg, 64, 48, capacity=128, kf_capacity=8, seed=0)
+    m = slam.run(ds, chunk=1, sync_every=0)
+    assert m["inserted_total"] <= 128
+    assert m["dropped_inserts"] > 0, m
+
+
+def test_fused_pgo_and_densify():
+    """PGO in the fused runtime: covisibility loop-closure edges appear
+    between non-consecutive keyframes (small motion => IoU ~ 1), and the
+    pose-graph window fan-out + gradient densification paths execute
+    end-to-end on device state."""
+    ds = SyntheticDataset(seq_len=8, width=64, height=48, n_splats=400,
+                          seed=5, motion_scale=0.04)
+    cfg = small_fused_cfg(
+        max_frames=16,
+        mapping=MapConfig(window_size=4, recent_window=2, num_iters_init=30,
+                          num_iters_mapping=4, kf_m=0.01, enable_pgo=True,
+                          densify_every=20, densify_max_new=64,
+                          grow_grad2d=1e-8, render=RCFG),
+    )
+    slam = FusedSlam(cfg, 64, 48, capacity=4096, kf_capacity=8, seed=0)
+    m = slam.run(ds, chunk=1, sync_every=0)
+    assert m["C"] >= 4, m
+    # more edges than the consecutive chain alone => loop closures fired
+    assert m["n_pgo_edges"] > m["C"] - 1, m
+    # gradient densification fired (init pass crosses densify_every=20)
+    assert m["inserted_total"] > 0
+    ds2 = SyntheticDataset(seq_len=8, width=64, height=48, n_splats=400,
+                           seed=5, motion_scale=0.04)
+    cfg_nd = small_fused_cfg(
+        max_frames=16,
+        mapping=MapConfig(window_size=4, recent_window=2, num_iters_init=30,
+                          num_iters_mapping=4, kf_m=0.01, enable_pgo=True,
+                          densify_every=0, render=RCFG),
+    )
+    slam2 = FusedSlam(cfg_nd, 64, 48, capacity=4096, kf_capacity=8, seed=0)
+    m2 = slam2.run(ds2, chunk=1, sync_every=0)
+    assert m["inserted_total"] > m2["inserted_total"], (m, m2)
 
 
 def test_fused_chunk_invariance():

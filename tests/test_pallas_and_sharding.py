@@ -122,3 +122,85 @@ def test_camera_dp_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(g1.means), np.asarray(g2.means),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4+ devices")
+def test_gauss_sharded_render_matches_dense(rng):
+    """Depth-band splat sharding: a 4-way 'gauss'-sharded render composes
+    to the single-device result (same per-splat depth sort key)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gslam_tpu.mapping.backend_ops import MapConfig
+    from gslam_tpu.mapping.gaussians import empty_map
+    from gslam_tpu.parallel.sharding import (
+        gauss_render, make_mesh, partition_by_depth,
+    )
+
+    n, w, h = 96, 64, 48
+    params, viewmats, Ks, *_ = make_scene(rng, n=n, width=w, height=h)
+    gmap = empty_map(n)._replace(**params)
+    C = 2
+    vms = jnp.stack([jnp.eye(4), jnp.eye(4).at[0, 3].add(0.05)])
+    Ks2 = jnp.tile(Ks, (C, 1, 1))
+    cfg = MapConfig(render=RenderConfig(backend="jnp", tile_capacity=128,
+                                        tile_chunk=2))
+
+    gmap = partition_by_depth(gmap, vms[0])
+    dense = render(**gmap.render_kwargs(), viewmats=vms, Ks=Ks2,
+                   width=w, height=h, cfg=cfg.render)
+
+    mesh = make_mesh(4, axis="gauss")
+    gmap_s = jax.device_put(gmap, NamedSharding(mesh, P("gauss")))
+    rgb, alpha, depth, beta = gauss_render(mesh, gmap_s, vms, Ks2, w, h, cfg)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(dense.rgb),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(dense.alpha),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(dense.depth),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(beta), np.asarray(dense.beta),
+                               atol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4+ devices")
+def test_gauss_sharded_mapping_step(rng):
+    """One splat-sharded mapping train step: params + Adam moments stay
+    'gauss'-sharded, the step runs, and the updated map is finite."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gslam_tpu.mapping.backend_ops import MapConfig
+    from gslam_tpu.mapping.gaussians import empty_map
+    from gslam_tpu.mapping.optimizer import init_adam
+    from gslam_tpu.parallel.sharding import (
+        make_gauss_mapping_step, make_mesh, partition_by_depth,
+    )
+
+    n, w, h = 96, 64, 48
+    params, viewmats, Ks, *_ = make_scene(rng, n=n, width=w, height=h)
+    gmap = empty_map(n)._replace(**params)
+    gmap, opt = partition_by_depth(gmap, jnp.eye(4), init_adam(gmap))
+    C = 2
+    mesh = make_mesh(4, axis="gauss")
+    shard = NamedSharding(mesh, P("gauss"))
+    repl = NamedSharding(mesh, P())
+    gmap = jax.device_put(gmap, shard)
+    from gslam_tpu.mapping.optimizer import MaskedAdamState
+    opt = MaskedAdamState(  # moments sharded; the scalar step count is not
+        mu=jax.device_put(opt.mu, shard),
+        nu=jax.device_put(opt.nu, shard),
+        count=jax.device_put(opt.count, repl),
+    )
+    gt = jax.device_put(
+        jnp.asarray(rng.random((C, h, w, 3)).astype(np.float32)), repl)
+    pose_vec = jax.device_put(jnp.zeros((C, 9)), repl)
+    pose_base = jax.device_put(jnp.tile(jnp.eye(4)[None], (C, 1, 1)), repl)
+    exposures = jax.device_put(jnp.zeros((C, 2)), repl)
+    Ks2 = jax.device_put(jnp.tile(Ks, (C, 1, 1)), repl)
+    cfg = MapConfig(render=RenderConfig(backend="jnp", tile_capacity=64,
+                                        tile_chunk=2))
+    step = make_gauss_mapping_step(mesh, w, h, cfg)
+    g2, o2, p2 = step(gmap, opt, pose_vec, pose_base, gt, exposures, Ks2)
+    jax.block_until_ready(g2.means)
+    assert bool(jnp.isfinite(g2.means).all())
+    assert "gauss" in str(g2.means.sharding)
+    assert not np.allclose(np.asarray(g2.means), np.asarray(gmap.means))

@@ -52,13 +52,16 @@ def test_slam_trajectory_quality(slam_run):
     _, _, metrics, _ = slam_run
     # random-walk motion ~1.5 cm/frame over 10 frames; tracking should stay
     # within a few cm of gt
-    assert metrics["ate"] < 0.08, metrics
+    assert metrics["ate"] < 0.05, metrics
 
 
 def test_slam_reconstruction_quality(slam_run):
     _, _, metrics, _ = slam_run
-    assert metrics["psnr"] > 15.0, metrics
-    assert metrics["ssim"] > 0.35, metrics
+    # measured on this scene: psnr 24.93, ssim 0.936 (CPU); bands sit just
+    # under the measured values to catch regressions without flaking on
+    # float-reassociation jitter (round-2 bands were 15.0 / 0.35)
+    assert metrics["psnr"] > 24.0, metrics
+    assert metrics["ssim"] > 0.90, metrics
 
 
 def test_slam_artifacts_written(slam_run):
