@@ -380,6 +380,67 @@ def section_onemillion():
         "mapping_passes_per_s": round(1.0 / (15 * map_ms / 1e3), 2),
     })
 
+    # device marginal rates at the 1M op point (same methodology as the
+    # other sections: two scan lengths, one readback each — flat dispatch
+    # cost cancels, so these are honest even after the transport flip)
+    from functools import partial
+
+    from gslam_tpu.mapping.backend_ops import mapping_step as _ms
+
+    step_impl = _ms.__wrapped__
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_render(g, Karg, eps, n):
+        def body(c, i):
+            vm = jnp.eye(4).at[0, 3].add(eps + i * 1e-7)
+            out = render(**g.render_kwargs(), viewmats=vm[None], Ks=Karg[None],
+                         width=W, height=H, cfg=rcfg)
+            return c, out.rgb[0, 0, 0]
+
+        _, px = jax.lax.scan(body, 0.0, jnp.arange(n), length=n)
+        return px
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_map1m(g, o, k2, p, wi, wm, Karg, eps, n):
+        def body(c, _):
+            g, o, k2, p = c
+            k2 = k2._replace(images=k2.images + eps)
+            g, o, k2, p, aux = step_impl(g, o, k2, p, wi, wm, Karg, W, H, cfg)
+            return (g, o, k2, p), aux.total_loss
+
+        _, losses = jax.lax.scan(body, (g, o, k2, p), None, length=n)
+        return losses
+
+    try:
+        px = scan_render(gmap, K, jnp.float32(0.0), 4)
+        float(px[0])  # compile
+        rtimes = {}
+        for k, n in ((1, 4), (2, 12)):
+            t0 = time.time()
+            px = scan_render(gmap, K, jnp.float32(k) * 1e-7, n)
+            float(px[0])
+            rtimes[k] = time.time() - t0
+        r_ms = 1e3 * (rtimes[2] - rtimes[1]) / 8
+        losses = scan_map1m(st[0], st[1], st[2], st[3], widx, wmask, K,
+                            jnp.float32(0.0), 3)
+        float(losses[0])
+        mtimes = {}
+        for k, n in ((1, 3), (2, 9)):
+            t0 = time.time()
+            losses = scan_map1m(st[0], st[1], st[2], st[3], widx, wmask, K,
+                                jnp.float32(k) * 1e-7, n)
+            float(losses[0])
+            mtimes[k] = time.time() - t0
+        m_ms = 1e3 * (mtimes[2] - mtimes[1]) / 6
+        _emit("onemillion_device", {
+            "device_render_ms": round(r_ms, 2),
+            "device_mapping_iter_ms": round(m_ms, 2),
+            "device_mapping_passes_per_s": round(1.0 / (15 * m_ms / 1e3), 2),
+            "method": "marginal rate of two scan lengths, one readback each",
+        })
+    except Exception as e:  # keep the enqueue numbers if the scans fault
+        _emit("onemillion_device", {"error": repr(e)[:200]})
+
 
 # ------------------------------------------------------------ orchestrator
 
@@ -387,7 +448,7 @@ def section_onemillion():
 def run_sections():
     parts = {}
     for section, budget in (("tracking", 480), ("mapping", 480),
-                            ("onemillion", 540)):
+                            ("onemillion", 840)):
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--section", section],

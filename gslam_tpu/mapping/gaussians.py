@@ -100,7 +100,8 @@ def compact_free_slots(alive: jax.Array, n: int) -> jax.Array:
     return jnp.nonzero(~alive, size=n, fill_value=cap)[0].astype(jnp.int32)
 
 
-def compact_map(gmap: GaussianMap, opt_state=None, stable: bool = True):
+def compact_map(gmap: GaussianMap, opt_state=None, stable: bool = True,
+                return_order: bool = False):
     """In-place live-slot compaction: permute live splats to the front.
 
     The fixed-capacity design (SURVEY §5.7's north star) never moves data —
@@ -112,7 +113,10 @@ def compact_map(gmap: GaussianMap, opt_state=None, stable: bool = True):
     jit-safe (call it under cond every K frames, or host-side).
 
     Returns (gmap, opt_state) with the same shapes; optimizer moments are
-    permuted identically so moment/parameter pairing is preserved.
+    permuted identically so moment/parameter pairing is preserved. With
+    `return_order` the applied permutation is also returned so any OTHER
+    per-slot state (e.g. the fused runtime's per-keyframe visibility
+    columns) can be permuted consistently.
     """
     order = jnp.argsort(~gmap.alive, stable=stable)  # live first, stable
 
@@ -130,12 +134,15 @@ def compact_map(gmap: GaussianMap, opt_state=None, stable: bool = True):
         alive=perm(gmap.alive),
     )
     if opt_state is None:
-        return gmap2, None
-    opt2 = type(opt_state)(
-        mu={f: perm(v) for f, v in opt_state.mu.items()},
-        nu={f: perm(v) for f, v in opt_state.nu.items()},
-        count=opt_state.count,
-    )
+        opt2 = None
+    else:
+        opt2 = type(opt_state)(
+            mu={f: perm(v) for f, v in opt_state.mu.items()},
+            nu={f: perm(v) for f, v in opt_state.nu.items()},
+            count=opt_state.count,
+        )
+    if return_order:
+        return gmap2, opt2, order
     return gmap2, opt2
 
 

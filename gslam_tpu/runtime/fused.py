@@ -440,16 +440,20 @@ def slam_step_impl(
         adj = jax.lax.cond(take, close_loops, lambda a: a, adj)
 
     # periodic in-place live-slot compaction (SURVEY 5.7 north star):
-    # pure permutation, keeps the live set a dense prefix at any capacity
+    # pure permutation, keeps the live set a dense prefix at any capacity.
+    # kf_vis columns are per-slot, so they must ride the same permutation
+    # or later loop-closure IoUs would compare stale slot assignments.
     if cfg.compact_every > 0:
         from gslam_tpu.mapping.gaussians import compact_map
 
         def do_compact():
-            return compact_map(gmap, opt_state)
+            g2, o2, order = compact_map(gmap, opt_state, return_order=True)
+            kv = kf_vis[:, order] if mcfg.enable_pgo else kf_vis
+            return g2, o2, kv
 
-        gmap, opt_state = jax.lax.cond(
+        gmap, opt_state, kf_vis = jax.lax.cond(
             (i + 1) % cfg.compact_every == 0, do_compact,
-            lambda: (gmap, opt_state),
+            lambda: (gmap, opt_state, kf_vis),
         )
 
     return state._replace(
@@ -545,8 +549,10 @@ class FusedSlam:
             unsynced += len(buf_imgs)
             buf_imgs, buf_depths = [], []
             if sync_every and unsynced >= sync_every:
-                int(state.frame_count)  # bound the dispatch backlog
+                fc = int(state.frame_count)  # bound the dispatch backlog
                 unsynced = 0
+                print(f"[fused] frame {fc} synced at "
+                      f"{time.time() - t_start:.1f}s", flush=True)
 
         zeros_depth = np.zeros((H, W), np.float32)
         for frame in iter(dataset):
@@ -565,7 +571,9 @@ class FusedSlam:
                     jnp.asarray(depth), K, W, H, self.cfg,
                 )
                 if sync_every and frame.index % sync_every == sync_every - 1:
-                    int(state.frame_count)  # bound the dispatch backlog
+                    fc = int(state.frame_count)  # bound the dispatch backlog
+                    print(f"[fused] frame {fc} synced at "
+                          f"{time.time() - t_start:.1f}s", flush=True)
             else:
                 buf_imgs.append(np.asarray(frame.image, np.float32))
                 buf_depths.append(depth)

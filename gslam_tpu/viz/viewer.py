@@ -19,6 +19,60 @@ class ViewerState:
         self.target_type = "rgb"  # rgb | n_touched | depth
 
 
+class TrainUtilThrottle:
+    """Training/viewing time-sharing policy (reference viewer.py:196-231).
+
+    The reference viewer throttles viewer refreshes so that training keeps
+    `train_util` of the wall clock: with measured train/view throughputs
+    (rays/s) it refreshes every
+        update_every = train_util * view_time / (train_time * (1 - train_util))
+    steps, and stalls training entirely for `move_grace` seconds after the
+    user moves the camera. This class is the pure state machine — viser-free
+    and unit-testable; `serve_viewer` drives it when a training loop is
+    attached.
+    """
+
+    def __init__(self, train_util: float = 0.9, max_img_res: int = 2048,
+                 move_grace: float = 0.1, warmup_steps: int = 5):
+        self.train_util = float(train_util)
+        self.max_img_res = int(max_img_res)
+        self.move_grace = float(move_grace)
+        self.warmup_steps = int(warmup_steps)
+        self.last_move_time = -1e30
+        self.last_update_step = 0
+        self.num_train_rays_per_sec: float | None = None
+        self.num_view_rays_per_sec: float = 100_000.0
+
+    def note_move(self, now: float) -> None:
+        self.last_move_time = now
+
+    def train_stalled(self, now: float) -> bool:
+        """Training yields while the user is actively moving the camera."""
+        return (now - self.last_move_time) < self.move_grace
+
+    def update_every(self, num_train_rays_per_step: int) -> float:
+        """Steps between viewer refreshes at the configured train_util."""
+        if self.num_train_rays_per_sec is None:
+            raise ValueError(
+                "num_train_rays_per_sec must be measured before throttling")
+        util = min(self.train_util, 1.0 - 1e-6)
+        train_time = num_train_rays_per_step / self.num_train_rays_per_sec
+        view_time = self.max_img_res ** 2 / self.num_view_rays_per_sec
+        return util * view_time / (train_time * (1.0 - util))
+
+    def should_refresh(self, step: int, num_train_rays_per_step: int) -> bool:
+        """Called once per training step; True when a viewer refresh is due
+        (and records it). Refreshes are suppressed during warm-up while the
+        throughput estimates settle, and train_util=1 disables them."""
+        if step < self.warmup_steps or self.train_util >= 1.0:
+            return False
+        if step > self.last_update_step + self.update_every(
+                num_train_rays_per_step):
+            self.last_update_step = step
+            return True
+        return False
+
+
 def serve_viewer(gmap, width=640, height=480, port=8080, map_config=None):
     try:
         import viser
@@ -34,12 +88,16 @@ def serve_viewer(gmap, width=640, height=480, port=8080, map_config=None):
 
     cfg = map_config or MapConfig()
     state = ViewerState()
+    state.throttle = TrainUtilThrottle()
     server = viser.ViserServer(port=port, verbose=False)
 
     with server.gui.add_folder("gslam_tpu"):
         pause_btn = server.gui.add_button("pause/resume")
         target = server.gui.add_dropdown(
             "target", options=("rgb", "n_touched", "depth"), initial_value="rgb"
+        )
+        util = server.gui.add_slider(
+            "train util", min=0.0, max=1.0, step=0.05, initial_value=0.9
         )
 
     @pause_btn.on_click
@@ -50,10 +108,18 @@ def serve_viewer(gmap, width=640, height=480, port=8080, map_config=None):
     def _(_):
         state.target_type = target.value
 
+    @util.on_update
+    def _(_):
+        state.throttle.train_util = util.value
+
     @server.on_client_connect
     def _(client: "viser.ClientHandle"):
         import threading
         import time
+
+        @client.camera.on_update
+        def _(_cam):
+            state.throttle.note_move(time.time())
 
         def loop():
             while True:

@@ -211,3 +211,39 @@ def test_compact_and_grow_preserve_render(rng):
     np.testing.assert_allclose(img(g3), base, atol=1e-5)
     for f in opt3.mu:
         assert opt3.mu[f].shape[0] == cap * 2
+
+
+def test_train_util_throttle():
+    from gslam_tpu.viz.viewer import TrainUtilThrottle
+
+    th = TrainUtilThrottle(train_util=0.9, max_img_res=2048, warmup_steps=5)
+    th.num_train_rays_per_sec = 1e6
+    th.num_view_rays_per_sec = 1e5
+
+    # reference formula (viewer.py:213-219): train_time = n/train_s,
+    # view_time = res^2/view_s, every = u*view_time/(train_time*(1-u))
+    n = 4096
+    expect = 0.9 * (2048**2 / 1e5) / ((n / 1e6) * 0.1)
+    assert abs(th.update_every(n) - expect) / expect < 1e-9
+
+    # warm-up suppresses refreshes; afterwards the cadence honors the
+    # computed interval (here huge, so only the crossing step refreshes)
+    assert not th.should_refresh(3, n)
+    th2 = TrainUtilThrottle(train_util=0.5, max_img_res=64, warmup_steps=0)
+    th2.num_train_rays_per_sec = 1e6
+    th2.num_view_rays_per_sec = 1e6
+    every = th2.update_every(n)  # 0.5*(4096/1e6)/((4096/1e6)*0.5) = 1.0
+    assert abs(every - 1.0) < 1e-9
+    assert th2.should_refresh(2, n)
+    assert not th2.should_refresh(3, n)  # 3 > 2 + 1.0 is False
+    assert th2.should_refresh(4, n)
+
+    # train_util=1 disables viewer refreshes entirely
+    th3 = TrainUtilThrottle(train_util=1.0, warmup_steps=0)
+    th3.num_train_rays_per_sec = 1e6
+    assert not th3.should_refresh(100, n)
+
+    # camera movement stalls training for move_grace seconds
+    th.note_move(1000.0)
+    assert th.train_stalled(1000.05)
+    assert not th.train_stalled(1000.2)

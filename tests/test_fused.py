@@ -122,6 +122,9 @@ def test_fused_pgo_and_densify():
                           seed=5, motion_scale=0.04)
     cfg = small_fused_cfg(
         max_frames=16,
+        # compact_every=2 forces live-slot compactions mid-run, exercising
+        # the kf_vis column permutation (stale columns would break the IoU)
+        compact_every=2,
         mapping=MapConfig(window_size=4, recent_window=2, num_iters_init=30,
                           num_iters_mapping=4, kf_m=0.01, enable_pgo=True,
                           densify_every=20, densify_max_new=64,
