@@ -89,6 +89,13 @@ class FusedConfig:
     init_n_new: int = 5000  # bootstrap insertion (reference backend.py:619)
     kf_n_new: int = 100  # per-keyframe insertion (reference backend.py:655)
     idle_iters: int = 15  # mapping iterations per frame (idle passes)
+    # Cap on bootstrap mapping iterations folded into frame 0's dispatch;
+    # the remainder runs as slam_refine dispatches driven by FusedSlam.run.
+    # 0 = whole bootstrap in one dispatch (CPU / small runs). On the axon
+    # TPU worker a single dispatch folding ~400 mapping iterations is
+    # killed by a per-dispatch limit (docs/PERF.md rule 8), so chip runs
+    # need this set (main.py --fused defaults it to 50 on TPU).
+    init_iters_per_dispatch: int = 0
     compact_every: int = 32  # frames between in-place live-slot compactions
     use_gt_depths: bool = False
     # "while" = lax.while_loop with plateau early-exit (fewest iterations);
@@ -298,6 +305,65 @@ def slam_step_impl(
 
     kf, pose_opt, kf_count, kf_vis, adj = jax.lax.cond(take, write_kf, keep_kf)
 
+    # Bootstrap optimization budget for THIS dispatch. On the axon
+    # transport a single dispatch folding all `num_iters_init` mapping
+    # iterations exceeds the worker's per-dispatch time limit and kills it
+    # (docs/PERF.md rule 8: 400-iter init crashed at a capacity where a
+    # 30-iter init ran fine), so `init_iters_per_dispatch` caps the
+    # in-step share and FusedSlam.run drives the remainder through
+    # slam_refine dispatches.
+    ipd = cfg.init_iters_per_dispatch
+    init_budget = min(mcfg.num_iters_init, ipd) if ipd else mcfg.num_iters_init
+    n_iters = jnp.where(i == 0, init_budget, cfg.idle_iters)
+
+    (gmap, opt_state, kf, pose_opt, paused, plast, pcnt, total_iters,
+     max_pairs, kf_vis, adj, d_ins, d_req, k_next) = _mapping_phase(
+        state, gmap, opt_state, kf, pose_opt, kf_count, kf_vis, adj,
+        take, i, n_iters, k_next, K, width, height, cfg,
+        allow_compact=True,
+    )
+    n_ins, n_req = n_ins + d_ins, n_req + d_req
+
+    return state._replace(
+        gmap=gmap, opt_state=opt_state, kf=kf, pose_opt=pose_opt,
+        kf_count=kf_count, frame_count=i + 1,
+        traj=state.traj.at[i].set(pose),
+        exposure_traj=state.exposure_traj.at[i].set(exposure),
+        track_losses=state.track_losses.at[i].set(tloss),
+        kf_flags=state.kf_flags.at[i].set(take),
+        exposure=exposure,
+        paused=paused, plateau_last=plast, plateau_count=pcnt,
+        total_map_iters=total_iters,
+        max_pairs=max_pairs,
+        inserted_total=state.inserted_total + n_ins,
+        dropped_total=state.dropped_total + (n_req - n_ins),
+        kf_vis=kf_vis, adj=adj,
+        key=k_next,
+    )
+
+
+def _mapping_phase(
+    state: FusedState,
+    gmap, opt_state, kf, pose_opt, kf_count, kf_vis, adj,
+    take, i, n_iters, key,
+    K: jax.Array,
+    width: int,
+    height: int,
+    cfg: FusedConfig,
+    allow_compact: bool = True,
+):
+    """Windowed map optimization + densify + prune + loop closure +
+    compaction, shared by the per-frame step and the idle refine step.
+
+    `take`/`i`/`n_iters` are traced scalars: whether this pass follows a
+    keyframe add, the current frame index, and the mapping-iteration bound.
+    Returns the updated buffers plus densify insert/request counts and the
+    advanced PRNG key.
+    """
+    mcfg = cfg.mapping
+    kf_cap = kf.capacity
+    k_next = key
+
     # ---- optimization window ----
     # Plain mode: the last `window_size` keyframes of the ring. With PGO:
     # the last `recent_window` keyframes plus pose-graph neighbors of the
@@ -327,7 +393,6 @@ def slam_step_impl(
         widx, wmask = rslots, rmask
 
     # ---- mapping pass: while_loop with plateau early-exit ----
-    n_iters = jnp.where(i == 0, mcfg.num_iters_init, cfg.idle_iters)
     paused0 = state.paused & ~take  # keyframes resume optimization
     cap = gmap.capacity
 
@@ -380,6 +445,7 @@ def slam_step_impl(
     # total optimization steps, using the final iteration's dL/dmeans2d
     # (the actor densifies mid-pass; cadence-equivalent deviation). ----
     densified = jnp.array(False)
+    d_ins = d_req = jnp.int32(0)
     if mcfg.densify_every > 0:
         k_dens, k_next = jax.random.split(k_next)
         densified = (it_done > 0) & (
@@ -400,7 +466,6 @@ def slam_step_impl(
             densified, do_densify,
             lambda: (gmap, opt_state, jnp.int32(0), jnp.int32(0)),
         )
-        n_ins, n_req = n_ins + d_ins, n_req + d_req
 
     # ---- pruning (reference backend.py:364-391); only after real passes,
     # and never on a pass that just densified (actor sets prune=False) ----
@@ -443,7 +508,7 @@ def slam_step_impl(
     # pure permutation, keeps the live set a dense prefix at any capacity.
     # kf_vis columns are per-slot, so they must ride the same permutation
     # or later loop-closure IoUs would compare stale slot assignments.
-    if cfg.compact_every > 0:
+    if cfg.compact_every > 0 and allow_compact:
         from gslam_tpu.mapping.gaussians import compact_map
 
         def do_compact():
@@ -456,21 +521,43 @@ def slam_step_impl(
             lambda: (gmap, opt_state, kf_vis),
         )
 
+    return (gmap, opt_state, kf, pose_opt, paused, plast, pcnt,
+            total_iters, max_pairs, kf_vis, adj, d_ins, d_req, k_next)
+
+
+def slam_refine_impl(
+    state: FusedState,
+    K: jax.Array,
+    width: int,
+    height: int,
+    cfg: FusedConfig,
+    n_iters: int,
+) -> FusedState:
+    """Idle-time map refinement: one bounded mapping pass over the current
+    keyframe window. No frame is consumed and no keyframe decision is made
+    — this is the fused equivalent of the actor backend's queue-empty
+    `optimize_map()` (reference backend.py:842-851). FusedSlam.run also
+    uses it to spread the long bootstrap optimization over several short
+    dispatches, each within the axon worker's per-dispatch tolerance."""
+    # refine never runs under lax.scan, so always use the while_loop
+    # mapping body (the "fori" variant's static trip count would pad every
+    # refine dispatch to the full bootstrap length)
+    if cfg.mapping_loop != "while":
+        cfg = dataclasses.replace(cfg, mapping_loop="while")
+    (gmap, opt_state, kf, pose_opt, paused, plast, pcnt, total_iters,
+     max_pairs, kf_vis, adj, d_ins, d_req, k_next) = _mapping_phase(
+        state, state.gmap, state.opt_state, state.kf, state.pose_opt,
+        state.kf_count, state.kf_vis, state.adj,
+        jnp.array(False), state.frame_count, jnp.int32(n_iters), state.key,
+        K, width, height, cfg, allow_compact=False,
+    )
     return state._replace(
         gmap=gmap, opt_state=opt_state, kf=kf, pose_opt=pose_opt,
-        kf_count=kf_count, frame_count=i + 1,
-        traj=state.traj.at[i].set(pose),
-        exposure_traj=state.exposure_traj.at[i].set(exposure),
-        track_losses=state.track_losses.at[i].set(tloss),
-        kf_flags=state.kf_flags.at[i].set(take),
-        exposure=exposure,
         paused=paused, plateau_last=plast, plateau_count=pcnt,
-        total_map_iters=total_iters,
-        max_pairs=max_pairs,
-        inserted_total=state.inserted_total + n_ins,
-        dropped_total=state.dropped_total + (n_req - n_ins),
-        kf_vis=kf_vis, adj=adj,
-        key=k_next,
+        total_map_iters=total_iters, max_pairs=max_pairs,
+        inserted_total=state.inserted_total + d_ins,
+        dropped_total=state.dropped_total + (d_req - d_ins),
+        kf_vis=kf_vis, adj=adj, key=k_next,
     )
 
 
@@ -478,6 +565,10 @@ def slam_step_impl(
 slam_step = partial(
     jax.jit, static_argnames=("width", "height", "cfg"),
 )(slam_step_impl)
+
+slam_refine = partial(
+    jax.jit, static_argnames=("width", "height", "cfg", "n_iters"),
+)(slam_refine_impl)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "cfg"))
@@ -570,7 +661,23 @@ class FusedSlam:
                     state, jnp.asarray(np.asarray(frame.image, np.float32)),
                     jnp.asarray(depth), K, W, H, self.cfg,
                 )
-                if sync_every and frame.index % sync_every == sync_every - 1:
+                ipd = self.cfg.init_iters_per_dispatch
+                if frame.index == 0 and ipd:
+                    # Spread the rest of the bootstrap optimization over
+                    # short refine dispatches, draining each (the whole
+                    # point is bounding per-dispatch device time).
+                    done = min(ipd, self.cfg.mapping.num_iters_init)
+                    while done < self.cfg.mapping.num_iters_init:
+                        state = slam_refine(state, K, W, H, self.cfg, ipd)
+                        int(state.frame_count)
+                        done += ipd
+                    print(f"[fused] bootstrap refined to {done} iters at "
+                          f"{time.time() - t_start:.1f}s", flush=True)
+                # frame 0's dispatch folds the (long) bootstrap optimization;
+                # drain it alone before enqueuing more work on the chip
+                if sync_every and (frame.index == 0
+                                   or frame.index % sync_every
+                                   == sync_every - 1):
                     fc = int(state.frame_count)  # bound the dispatch backlog
                     print(f"[fused] frame {fc} synced at "
                           f"{time.time() - t_start:.1f}s", flush=True)

@@ -53,6 +53,14 @@ def build_parser():
                         "(runtime/fused.py)")
     p.add_argument("--chunk", type=int, default=16,
                    help="frames folded per dispatch in --fused mode")
+    p.add_argument("--init-ipd", type=int, default=None,
+                   help="--fused: max bootstrap mapping iterations folded "
+                        "into one dispatch; remainder runs as short refine "
+                        "dispatches (default: 50 on TPU, unlimited on CPU)")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="--fused trajectory-buffer capacity (defaults to the "
+                        "dataset length; fix it to share compiled programs "
+                        "between a short probe and the full run)")
     p.add_argument("--init-n-new", type=int, default=5000,
                    help="bootstrap insertion size (--fused)")
     p.add_argument("--kf-n-new", type=int, default=100,
@@ -178,11 +186,18 @@ def main(argv=None):
 
         from gslam_tpu.runtime.fused import FusedConfig, FusedSlam
 
+        import jax
+
+        ipd = args.init_ipd
+        if ipd is None:
+            # axon worker kills long dispatches (docs/PERF.md rule 8)
+            ipd = 0 if jax.default_backend() == "cpu" else 50
         fcfg = FusedConfig(
             tracking=cfg.tracking, mapping=cfg.mapping,
-            max_frames=max(len(dataset), 1),
+            max_frames=args.max_frames or max(len(dataset), 1),
             init_n_new=args.init_n_new, kf_n_new=args.kf_n_new,
             idle_iters=cfg.mapping.num_iters_mapping,
+            init_iters_per_dispatch=ipd,
             use_gt_depths=args.use_gt_depths,
             mapping_loop="fori" if args.chunk > 1 else "while",
         )

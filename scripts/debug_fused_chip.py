@@ -13,6 +13,10 @@ import numpy as np
 def main():
     backend = sys.argv[1] if len(sys.argv) > 1 else "auto"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    capacity = int(sys.argv[3]) if len(sys.argv) > 3 else 16384
+    kf_cap = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    init_iters = int(sys.argv[5]) if len(sys.argv) > 5 else 30
+    idle = int(sys.argv[6]) if len(sys.argv) > 6 else 5
 
     import jax
     import jax.numpy as jnp
@@ -32,15 +36,15 @@ def main():
     rcfg = RenderConfig(backend=backend)
     cfg = FusedConfig(
         tracking=TrackingConfig(render=rcfg),
-        mapping=MapConfig(render=rcfg, num_iters_init=30),
-        max_frames=8, init_n_new=2000, kf_n_new=100, idle_iters=5,
+        mapping=MapConfig(render=rcfg, num_iters_init=init_iters),
+        max_frames=8, init_n_new=2000, kf_n_new=100, idle_iters=idle,
     )
     ds = SyntheticDataset(seq_len=n_steps, width=W, height=H, n_splats=4000,
                           seed=1, motion_scale=0.02)
-    state = init_fused_state(cfg, 16384, 16, H, W, 0)
+    state = init_fused_state(cfg, capacity, kf_cap, H, W, 0)
     K = jnp.asarray(ds.camera.K, jnp.float32)
     zeros_d = jnp.zeros((H, W), jnp.float32)
-    print(f"device: {jax.devices()[0]} backend={backend}", flush=True)
+    print(f"device: {jax.devices()[0]} backend={backend} cap={capacity} kf={kf_cap} init={init_iters} idle={idle}", flush=True)
 
     for i, frame in enumerate(iter(ds)):
         img = jnp.asarray(np.asarray(frame.image, np.float32))
