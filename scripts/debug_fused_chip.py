@@ -1,6 +1,23 @@
 #!/usr/bin/env python3
 """Isolate the fused-step TPU crash: run N slam_steps with an immediate
-readback each, optionally with the jnp (non-Pallas) blend backend."""
+readback each, optionally with the jnp (non-Pallas) blend backend.
+
+    python scripts/debug_fused_chip.py BACKEND [n] [capacity] [kf_cap]
+                                       [init_iters] [idle_iters]
+
+BACKEND: auto | jnp | notrack | noins
+  auto/jnp  — blend backend choice (full step)
+  notrack   — Pallas blend but tracking reduced to a single evaluation
+              (isolates the L-BFGS while nest at scale)
+  noins     — full tracking but minimal insertion sizes (isolates the
+              scatter-insert + kNN path at scale)
+
+Findings log (chip, 320x240, fresh process each):
+  r3: 32768/16 init30 idle5  OK (7.6 s/step post-readback)
+      65536/16 init30 idle5  CRASH at first readback (auto AND jnp)
+      32768/16 init400 idle15 CRASH at first readback (per-dispatch
+      time limit -> FusedConfig.init_iters_per_dispatch + slam_refine)
+"""
 
 import sys
 import time
@@ -33,11 +50,16 @@ def main():
     )
 
     W, H = 320, 240
-    rcfg = RenderConfig(backend=backend)
+    rcfg = RenderConfig(backend="jnp" if backend == "jnp" else "auto")
+    tcfg = TrackingConfig(render=rcfg)
+    if backend == "notrack":
+        tcfg = TrackingConfig(render=rcfg, warmup_steps=0, lbfgs_max_iter=1,
+                              lbfgs_max_eval=2)
+    init_n, kf_n = (50, 10) if backend == "noins" else (2000, 100)
     cfg = FusedConfig(
-        tracking=TrackingConfig(render=rcfg),
+        tracking=tcfg,
         mapping=MapConfig(render=rcfg, num_iters_init=init_iters),
-        max_frames=8, init_n_new=2000, kf_n_new=100, idle_iters=idle,
+        max_frames=8, init_n_new=init_n, kf_n_new=kf_n, idle_iters=idle,
     )
     ds = SyntheticDataset(seq_len=n_steps, width=W, height=H, n_splats=4000,
                           seed=1, motion_scale=0.02)

@@ -164,3 +164,27 @@ def test_fused_chunk_invariance():
     mb = b.run(ds2, chunk=8)
     np.testing.assert_allclose(a.trajectory, b.trajectory, atol=1e-5)
     assert ma["C"] == mb["C"]
+
+
+def test_fused_init_split_matches_monolithic():
+    """Splitting the bootstrap optimization across short dispatches
+    (init_iters_per_dispatch + host-driven slam_refine) runs the same
+    mapping math as the monolithic frame-0 dispatch; quality metrics must
+    land in the same band. Exact equality is not expected: the split path
+    evaluates the densify cadence at each dispatch boundary and advances
+    the PRNG once per refine dispatch."""
+    kw = dict(init_n_new=1500, max_frames=8,
+              mapping=MapConfig(window_size=4, recent_window=4,
+                                num_iters_init=40, num_iters_mapping=5,
+                                kf_m=0.04, render=RCFG))
+    ds = SyntheticDataset(seq_len=8, width=80, height=60, n_splats=600,
+                          seed=3, motion_scale=0.015)
+    mono = FusedSlam(small_fused_cfg(**kw), 80, 60, capacity=4096,
+                     kf_capacity=8, seed=0).run(ds, chunk=1, sync_every=2)
+    split = FusedSlam(small_fused_cfg(init_iters_per_dispatch=15, **kw),
+                      80, 60, capacity=4096, kf_capacity=8, seed=0
+                      ).run(ds, chunk=1, sync_every=2)
+    assert split["C"] == mono["C"]
+    assert split["total_map_iters"] >= mono["total_map_iters"]
+    assert np.isfinite(split["ate"]) and split["ate"] < 0.06, split
+    assert abs(split["ate"] - mono["ate"]) < 0.03, (split["ate"], mono["ate"])
