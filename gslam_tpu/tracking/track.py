@@ -37,8 +37,15 @@ class TrackingConfig:
     photometric_loss: str = "active-nerf"  # 'l1' | 'mse' | 'active-nerf'
     pose_lr: float = 0.002
     warmup_steps: int = 10
-    lbfgs_max_iter: int = 20
-    lbfgs_max_eval: int = 25
+    # L-BFGS budget. The reference tracks with up to 200 closure
+    # evaluations per frame (frontend.py:47,613-619); 20/25 under-fits
+    # once inter-frame motion reaches a few cm at 2-3 m scene depth (the
+    # tracker returns ~identity deltas and the constant-motion prior then
+    # compounds the drift — observed on the 5 cm/frame flagship scene).
+    # The in-jit loop exits early on convergence, so the cap only costs
+    # on hard frames.
+    lbfgs_max_iter: int = 60
+    lbfgs_max_eval: int = 75
     lbfgs_history: int = 5
     learn_exposure: bool = True
     use_gt_depths: bool = False
