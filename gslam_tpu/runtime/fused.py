@@ -97,6 +97,12 @@ class FusedConfig:
     # need this set (main.py --fused defaults it to 50 on TPU).
     init_iters_per_dispatch: int = 0
     compact_every: int = 32  # frames between in-place live-slot compactions
+    # Host-triggered geometric capacity growth (grow_fused_state): when a
+    # backlog-sync readback sees live_count >= grow_watermark * capacity,
+    # the buffer doubles (up to max_capacity; 0 disables growth). On the
+    # axon chip keep max_capacity <= 32768 (docs/PERF.md rule 7).
+    max_capacity: int = 0
+    grow_watermark: float = 0.85
     use_gt_depths: bool = False
     # "while" = lax.while_loop with plateau early-exit (fewest iterations);
     # "fori" = static trip count with a cond-skipped body (identical result,
@@ -135,6 +141,7 @@ class FusedState(NamedTuple):
     max_pairs: jax.Array  # [] int32 overflow telemetry
     inserted_total: jax.Array  # [] int32 splats actually scattered
     dropped_total: jax.Array  # [] int32 candidates lost to a full buffer
+    live_count: jax.Array  # [] int32 live splats (drives host-side growth)
     kf_vis: jax.Array  # [kf_cap, cap] bool per-keyframe splat visibility
     # snapshots for covisibility loop closure ([kf_cap, 1] dummy w/o PGO)
     adj: jax.Array  # [kf_cap, kf_cap] bool pose-graph adjacency over slots
@@ -167,6 +174,7 @@ def init_fused_state(
         max_pairs=jnp.int32(0),
         inserted_total=jnp.int32(0),
         dropped_total=jnp.int32(0),
+        live_count=jnp.int32(0),
         kf_vis=jnp.zeros((kf_capacity, vis_cols), bool),
         adj=jnp.zeros((kf_capacity, kf_capacity), bool),
         key=jax.random.PRNGKey(seed),
@@ -337,6 +345,7 @@ def slam_step_impl(
         max_pairs=max_pairs,
         inserted_total=state.inserted_total + n_ins,
         dropped_total=state.dropped_total + (n_req - n_ins),
+        live_count=jnp.sum(gmap.alive).astype(jnp.int32),
         kf_vis=kf_vis, adj=adj,
         key=k_next,
     )
@@ -557,8 +566,34 @@ def slam_refine_impl(
         total_map_iters=total_iters, max_pairs=max_pairs,
         inserted_total=state.inserted_total + d_ins,
         dropped_total=state.dropped_total + (d_req - d_ins),
+        live_count=jnp.sum(gmap.alive).astype(jnp.int32),
         kf_vis=kf_vis, adj=adj, key=k_next,
     )
+
+
+def grow_fused_state(state: FusedState, new_capacity: int) -> FusedState:
+    """Host-triggered splat-capacity growth between dispatches.
+
+    The fused runtime's answer to the reference's grow-by-concat on every
+    insert (/root/reference/gslam/insertion.py:27-65): a rare geometric
+    doubling driven by the host when `live_count` crosses the watermark.
+    Live slots are compacted to the front and every per-slot tensor —
+    splat buffer, Adam moments, and (with PGO) the per-keyframe visibility
+    columns — rides the same permutation before padding. The next
+    slam_step recompiles once for the new shape; doubling amortizes it.
+    """
+    from gslam_tpu.mapping.gaussians import compact_map, grow_map
+
+    gmap, opt, order = compact_map(state.gmap, state.opt_state,
+                                   return_order=True)
+    kf_vis = state.kf_vis
+    if kf_vis.shape[1] > 1:  # PGO mode: per-slot visibility columns
+        kf_vis = kf_vis[:, order]
+        pad = jnp.zeros((kf_vis.shape[0], new_capacity - kf_vis.shape[1]),
+                        bool)
+        kf_vis = jnp.concatenate([kf_vis, pad], axis=1)
+    gmap, opt = grow_map(gmap, opt, new_capacity)
+    return state._replace(gmap=gmap, opt_state=opt, kf_vis=kf_vis)
 
 
 # Jitted per-frame entry (online mode: one async dispatch per frame).
@@ -630,6 +665,23 @@ class FusedSlam:
         buf_imgs, buf_depths = [], []
         unsynced = 0  # frames dispatched since the last backlog sync
 
+        def maybe_grow():
+            # growth decisions piggyback on backlog-sync readbacks: the
+            # state is already drained, so reading live_count is one more
+            # scalar copy, not a new dispatch
+            nonlocal state
+            if not self.cfg.max_capacity:
+                return
+            cap = state.gmap.capacity
+            if cap >= self.cfg.max_capacity:
+                return
+            live = int(state.live_count)
+            if live >= self.cfg.grow_watermark * cap:
+                new_cap = min(cap * 2, self.cfg.max_capacity)
+                state = grow_fused_state(state, new_cap)
+                print(f"[fused] grew capacity {cap} -> {new_cap} "
+                      f"(live {live})", flush=True)
+
         def flush():
             nonlocal state, buf_imgs, buf_depths, unsynced
             if not buf_imgs:
@@ -644,6 +696,7 @@ class FusedSlam:
                 unsynced = 0
                 print(f"[fused] frame {fc} synced at "
                       f"{time.time() - t_start:.1f}s", flush=True)
+                maybe_grow()
 
         zeros_depth = np.zeros((H, W), np.float32)
         for frame in iter(dataset):
@@ -681,6 +734,7 @@ class FusedSlam:
                     fc = int(state.frame_count)  # bound the dispatch backlog
                     print(f"[fused] frame {fc} synced at "
                           f"{time.time() - t_start:.1f}s", flush=True)
+                    maybe_grow()
             else:
                 buf_imgs.append(np.asarray(frame.image, np.float32))
                 buf_depths.append(depth)
@@ -697,6 +751,7 @@ class FusedSlam:
             "L": n,
             "C": int(state.kf_count),
             "N": int(state.gmap.n_live()),
+            "capacity": int(state.gmap.capacity),
             "wall_s": wall,
             "enqueue_s": t_enqueue,
             "fps_wall": n / wall if wall > 0 else 0.0,

@@ -57,6 +57,10 @@ def build_parser():
                    help="--fused: max bootstrap mapping iterations folded "
                         "into one dispatch; remainder runs as short refine "
                         "dispatches (default: 50 on TPU, unlimited on CPU)")
+    p.add_argument("--max-capacity", type=int, default=0,
+                   help="--fused: grow the splat buffer geometrically up to "
+                        "this capacity when it fills (0 = fixed capacity); "
+                        "keep <= 32768 on the axon chip (docs/PERF.md)")
     p.add_argument("--max-frames", type=int, default=None,
                    help="--fused trajectory-buffer capacity (defaults to the "
                         "dataset length; fix it to share compiled programs "
@@ -134,10 +138,13 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="[%(levelname)s] %(name)s: %(message)s")
 
+    from gslam_tpu.core.compile_cache import enable_compile_cache
     from gslam_tpu.io import build_dataset
     from gslam_tpu.runtime.system import SlamConfig, SlamSystem
     from gslam_tpu.mapping.backend_ops import MapConfig
     from gslam_tpu.tracking.track import TrackingConfig
+
+    enable_compile_cache()
 
     ds_kwargs = {}
     if args.dataset == "tum":
@@ -198,6 +205,7 @@ def main(argv=None):
             init_n_new=args.init_n_new, kf_n_new=args.kf_n_new,
             idle_iters=cfg.mapping.num_iters_mapping,
             init_iters_per_dispatch=ipd,
+            max_capacity=args.max_capacity,
             use_gt_depths=args.use_gt_depths,
             mapping_loop="fori" if args.chunk > 1 else "while",
         )

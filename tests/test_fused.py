@@ -188,3 +188,63 @@ def test_fused_init_split_matches_monolithic():
     assert split["total_map_iters"] >= mono["total_map_iters"]
     assert np.isfinite(split["ate"]) and split["ate"] < 0.06, split
     assert abs(split["ate"] - mono["ate"]) < 0.03, (split["ate"], mono["ate"])
+
+
+def test_fused_capacity_growth():
+    """A run that overfills its initial buffer grows geometrically at the
+    backlog syncs (host-triggered grow_fused_state) instead of silently
+    dropping inserts forever; per-slot state (kf_vis with PGO) rides the
+    compaction permutation."""
+    ds = SyntheticDataset(seq_len=8, width=80, height=60, n_splats=600,
+                          seed=3, motion_scale=0.015)
+    cfg = small_fused_cfg(
+        init_n_new=700, kf_n_new=200, max_capacity=4096,
+        mapping=MapConfig(window_size=4, recent_window=2, num_iters_init=30,
+                          num_iters_mapping=4, kf_m=0.02, enable_pgo=True,
+                          render=RCFG),
+    )
+    slam = FusedSlam(cfg, 80, 60, capacity=512, kf_capacity=8, seed=0)
+    m = slam.run(ds, chunk=1, sync_every=2)
+    # the watermark tripped (bootstrap fills ~483/512 live) and the run
+    # completed cleanly at the recompiled larger shape
+    assert m["capacity"] > 512, m
+    assert m["C"] >= 2, m
+    assert np.isfinite(m["ate"]), m
+
+
+def test_grow_fused_state_permutes_kf_vis():
+    """grow_fused_state carries the per-keyframe visibility columns through
+    the live-slot compaction: each surviving splat (matched by its unique
+    mean) keeps exactly its pre-growth visibility column, and the padded
+    slots are all invisible."""
+    from gslam_tpu.runtime.fused import grow_fused_state
+
+    ds = SyntheticDataset(seq_len=6, width=64, height=48, n_splats=400,
+                          seed=5, motion_scale=0.03)
+    cfg = small_fused_cfg(
+        init_n_new=200, kf_n_new=50,
+        mapping=MapConfig(window_size=3, recent_window=3, num_iters_init=15,
+                          num_iters_mapping=3, kf_m=0.01, enable_pgo=True,
+                          render=RCFG),
+    )
+    slam = FusedSlam(cfg, 64, 48, capacity=512, kf_capacity=4, seed=0)
+    slam.run(ds, chunk=1, sync_every=0)
+    st = slam.final_state
+    assert bool(np.asarray(st.kf_vis).any()), "need nonzero visibility"
+
+    grown = grow_fused_state(st, 1024)
+    assert grown.gmap.capacity == 1024
+    pre_alive = np.asarray(st.gmap.alive)
+    post_alive = np.asarray(grown.gmap.alive)
+    assert pre_alive.sum() == post_alive.sum()
+    post_idx = {
+        tuple(np.asarray(grown.gmap.means)[j]): j
+        for j in np.nonzero(post_alive)[0]
+    }
+    pre_vis = np.asarray(st.kf_vis)
+    post_vis = np.asarray(grown.kf_vis)
+    for i_pre in np.nonzero(pre_alive)[0]:
+        j = post_idx[tuple(np.asarray(st.gmap.means)[i_pre])]
+        np.testing.assert_array_equal(pre_vis[:, i_pre], post_vis[:, j])
+    # the freshly padded slots carry no visibility
+    assert not post_vis[:, 512:].any()

@@ -68,14 +68,25 @@ def test_pallas_with_reused_bins(rng):
     np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb), atol=1e-5)
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def _n_devices() -> int:
+    """Device count for skip gates, resilient to a wedged TPU worker: a
+    plain jax.devices() initializes EVERY registered backend, and a dead
+    axon plugin then raises at collection time even though these tests run
+    on the virtual CPU mesh."""
+    try:
+        return len(jax.devices("cpu"))
+    except RuntimeError:
+        return 0
+
+
+@pytest.mark.skipif(_n_devices() < 8, reason="needs 8 virtual devices")
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
-@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2+ devices")
+@pytest.mark.skipif(_n_devices() < 2, reason="needs 2+ devices")
 def test_camera_dp_matches_single_device(rng):
     """Camera-DP gradients over a 2-device mesh == single-device result."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -124,7 +135,7 @@ def test_camera_dp_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
 
 
-@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4+ devices")
+@pytest.mark.skipif(_n_devices() < 4, reason="needs 4+ devices")
 def test_gauss_sharded_render_matches_dense(rng):
     """Depth-band splat sharding: a 4-way 'gauss'-sharded render composes
     to the single-device result (same per-splat depth sort key)."""
@@ -162,7 +173,7 @@ def test_gauss_sharded_render_matches_dense(rng):
                                atol=1e-3)
 
 
-@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4+ devices")
+@pytest.mark.skipif(_n_devices() < 4, reason="needs 4+ devices")
 def test_gauss_sharded_mapping_step(rng):
     """One splat-sharded mapping train step: params + Adam moments stay
     'gauss'-sharded, the step runs, and the updated map is finite."""
