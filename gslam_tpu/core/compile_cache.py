@@ -1,0 +1,58 @@
+"""Persistent XLA compile-cache setup shared by all CLI entry points.
+
+Compilation is the dominant cold-start cost in this environment (~20-200 s
+for a jitted render/track program); the reference's CUDA kernels are
+precompiled wheels so it never pays it (/root/reference/main.py has no
+equivalent). Caching compiled executables on disk gives the same
+run-it-again-instantly experience.
+
+Two subtleties (docs/PERF.md rule 6):
+  * XLA:CPU persists AOT executables whose code depends on the host's ISA
+    feature set; an entry written on one container host can SIGILL on
+    another. The CPU cache dir is therefore keyed by a hash of
+    /proc/cpuinfo flags.
+  * The TPU (axon) backend shares one cache dir; entries are keyed by
+    program + compile options, so mixing runs is safe.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[2]
+
+
+def _cpu_key() -> str:
+    # Key by flags AND model name AND jax version: XLA's AOT target
+    # features include model-derived tuning flags (e.g. prefer-no-scatter)
+    # that two hosts with identical cpuinfo flag lines can still disagree
+    # on — observed as cpu_aot_loader machine-feature-mismatch warnings
+    # when only the flags line was hashed.
+    import jax
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            lines = [ln for ln in f
+                     if ln.startswith(("flags", "model name"))]
+        ident = "".join(sorted(set(lines))) + jax.__version__
+        return hashlib.sha1(ident.encode()).hexdigest()[:8]
+    except OSError:
+        return "nohost"
+
+
+def enable_compile_cache() -> None:
+    """Point jax at the repo's persistent compile cache (idempotent).
+
+    Call after deciding the backend (i.e. after any JAX_PLATFORMS /
+    jax.config platform selection) and before the first compilation.
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        cache = _REPO / ".jax_cache_cpu" / _cpu_key()
+    else:
+        cache = _REPO / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

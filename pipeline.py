@@ -35,7 +35,10 @@ def main(argv=None):
     import jax.numpy as jnp
     from PIL import Image
 
+    from gslam_tpu.core.compile_cache import enable_compile_cache
     from gslam_tpu.mapping.gaussians import empty_map
+
+    enable_compile_cache()
     from gslam_tpu.ops.knn import mean_knn_scale
     from gslam_tpu.ops.rasterize import RenderConfig, render, render_impl
 

@@ -21,21 +21,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Compilation in this environment is very slow; persist compiled executables
-# across test processes. The cache dir is keyed by the host's CPU feature
-# set: XLA:CPU AOT executables compiled on a machine with different ISA
-# extensions segfault when loaded (observed across container hosts).
-import hashlib
+# across test processes. The cache dir is keyed by the host's CPU identity
+# (flags + model name): XLA:CPU AOT executables compiled on a different
+# host can SIGILL when loaded (observed across container hosts); shared
+# with the CLI entry points via gslam_tpu.core.compile_cache.
+from gslam_tpu.core.compile_cache import enable_compile_cache  # noqa: E402
 
-try:
-    with open("/proc/cpuinfo") as f:
-        _flags = next((ln for ln in f if ln.startswith("flags")), "")
-    _cpu_key = hashlib.sha1(_flags.encode()).hexdigest()[:8]
-except OSError:
-    _cpu_key = "nohost"
-jax.config.update(
-    "jax_compilation_cache_dir", f"/root/repo/.jax_cache_cpu/{_cpu_key}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+enable_compile_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

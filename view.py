@@ -48,9 +48,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
+    from gslam_tpu.core.compile_cache import enable_compile_cache
     from gslam_tpu.runtime.checkpoint import load_map
     from gslam_tpu.ops.rasterize import RenderConfig, render
     from gslam_tpu.viz.viewer import serve_viewer
+
+    enable_compile_cache()
 
     gmap, extra = load_map(args.checkpoint)
     alive = np.asarray(gmap.alive)
