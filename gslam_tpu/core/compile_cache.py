@@ -24,18 +24,19 @@ _REPO = Path(__file__).resolve().parents[2]
 
 
 def _cpu_key() -> str:
-    # Key by flags AND model name AND jax version: XLA's AOT target
-    # features include model-derived tuning flags (e.g. prefer-no-scatter)
-    # that two hosts with identical cpuinfo flag lines can still disagree
-    # on — observed as cpu_aot_loader machine-feature-mismatch warnings
-    # when only the flags line was hashed.
+    # Key by the WHOLE first-cpu cpuinfo stanza plus jax AND jaxlib
+    # versions: XLA's AOT target features include tuning flags
+    # (e.g. prefer-no-scatter) derived from model/stepping/LLVM-version
+    # details that two hosts with identical cpuinfo `flags` lines can
+    # still disagree on — observed as cpu_aot_loader
+    # machine-feature-mismatch warnings when only flags+model were hashed.
     import jax
+    import jaxlib
 
     try:
         with open("/proc/cpuinfo") as f:
-            lines = [ln for ln in f
-                     if ln.startswith(("flags", "model name"))]
-        ident = "".join(sorted(set(lines))) + jax.__version__
+            stanza = f.read().split("\n\n", 1)[0]
+        ident = stanza + jax.__version__ + getattr(jaxlib, "__version__", "")
         return hashlib.sha1(ident.encode()).hexdigest()[:8]
     except OSError:
         return "nohost"
