@@ -1,0 +1,51 @@
+#!/bin/bash
+# Auto-launcher for the round-3 flagship chip run.
+#
+# Waits until BOTH:
+#   1. /tmp/tpu_status says HEALTHY (written by the /tmp/tpu_poll.sh prober
+#      after the worker recovers from the slam_scan kernel fault), and
+#   2. the CPU quality gate runs/r3f2_cpu48/metrics.json exists with
+#      ate < 0.05 (realistic-motion dataset validated end-to-end),
+# then launches the 160-frame fused flagship on the chip with the
+# fault-safe settings from docs/PERF.md (capacity <= 32768, chunk 1,
+# bounded backlog). Writes its own pid so it can be killed by path.
+set -u
+cd /root/repo
+echo $$ > /tmp/flagship_launcher.pid
+
+log() { echo "$(date +%H:%M:%S) $*" >> /tmp/flagship_launcher.log; }
+
+log "launcher started; waiting for TPU + CPU gate"
+
+while true; do
+  st=$(cat /tmp/tpu_status 2>/dev/null || echo UNKNOWN)
+  gate="no"
+  if [ -f runs/r3f2_cpu48/metrics.json ]; then
+    gate=$(python - <<'EOF'
+import json
+try:
+    m = json.load(open("runs/r3f2_cpu48/metrics.json"))
+    print("yes" if m.get("ate", 9.9) < 0.05 else "bad")
+except Exception:
+    print("no")
+EOF
+)
+  fi
+  log "tpu=$st gate=$gate"
+  if [ "$gate" = "bad" ]; then
+    log "CPU gate FAILED (ate >= 0.05) — not launching; fix the recipe"
+    exit 1
+  fi
+  if [ "$st" = "HEALTHY" ] && [ "$gate" = "yes" ]; then
+    break
+  fi
+  sleep 120
+done
+
+log "conditions met; launching chip flagship (160 frames, 320x240)"
+timeout 9000 python main.py --dataset npz --scene runs/r3_flagship2/dataset.npz \
+  --capacity 32768 --kf-capacity 32 --fused --chunk 1 --sync-every 4 \
+  --init-ipd 40 --eval-stride 4 --tracking-max-evals 80 \
+  --run-name r3_flagship_final > /tmp/flagship_final.log 2>&1
+rc=$?
+log "flagship exited rc=$rc"
