@@ -47,9 +47,14 @@ EOF
 done
 
 log "conditions met; launching chip flagship (160 frames, 320x240)"
+# kf_m=0.04: the default 0.15 with this scene's 2.8 m median depth fires a
+# keyframe only every ~42 cm of travel -> C=4 over the whole sequence;
+# 0.04 gives C~16 (simulated against gt poses/depths), exercising the
+# keyframe ring, PGO, and insertion machinery the run is meant to prove.
 timeout 9000 python main.py --dataset npz --scene runs/r3_flagship2/dataset.npz \
   --capacity 32768 --kf-capacity 32 --fused --chunk 1 --sync-every 4 \
   --init-ipd 40 --eval-stride 4 --tracking-max-evals 80 \
+  --set mapping.kf_m=0.04 \
   --run-name r3_flagship_final > /tmp/flagship_final.log 2>&1
 rc=$?
 log "flagship exited rc=$rc"
