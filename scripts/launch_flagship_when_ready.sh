@@ -58,3 +58,16 @@ timeout 9000 python main.py --dataset npz --scene runs/r3_flagship2/dataset.npz 
   --run-name r3_flagship_final > /tmp/flagship_final.log 2>&1
 rc=$?
 log "flagship exited rc=$rc"
+
+if [ -f runs/r3_flagship_final/metrics.json ]; then
+  git add runs/r3_flagship_final/metrics.json runs/r3_flagship_final/args.txt \
+          runs/r3_flagship_final/trajectory.npy 2>/dev/null
+  git commit -q -m "Flagship chip run artifact: 160-frame fused SLAM on realistic-motion scene" \
+    && log "flagship artifact committed"
+fi
+
+# validate the rewritten bench.py on the (now healthy) chip so the
+# driver's round-end invocation is not its first execution there
+log "running bench.py validation"
+timeout 2400 python bench.py > /tmp/bench_chip_test.json 2>/tmp/bench_chip_test.err
+log "bench exited rc=$? -> /tmp/bench_chip_test.json"
