@@ -47,10 +47,26 @@ def enable_compile_cache() -> None:
 
     Call after deciding the backend (i.e. after any JAX_PLATFORMS /
     jax.config platform selection) and before the first compilation.
+
+    CPU caveat: the persistent cache forces XLA:CPU through its AOT
+    serialize/deserialize path, which segfaulted the test suite twice on
+    this infrastructure (jax 0.8.x: crashes inside
+    `put_executable_and_time` / `backend_compile_and_load`; the
+    `cpu_aot_loader` machine-feature-mismatch warnings suggest the VM's
+    virtualized /proc/cpuinfo cannot key host identity reliably, so even
+    a per-host dir does not quarantine entries). The CPU cache is
+    therefore OFF unless GSLAM_CPU_CACHE=1 — opt in only for repeated
+    same-process-config CPU runs where a crash is an acceptable trade
+    for skipping a multi-minute compile. The TPU (axon) cache has been
+    stable and stays on.
     """
+    import os
+
     import jax
 
     if jax.default_backend() == "cpu":
+        if os.environ.get("GSLAM_CPU_CACHE") != "1":
+            return
         cache = _REPO / ".jax_cache_cpu" / _cpu_key()
     else:
         cache = _REPO / ".jax_cache"
