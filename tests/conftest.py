@@ -9,9 +9,14 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+# Cap CPU codegen at AVX2: this VM's virtualized cpuid advertises
+# AVX512/AMX the underlying host executes incorrectly — full suite runs
+# segfaulted deterministically mid-run (XLA:CPU compile/execute paths)
+# until the ISA cap; individual tests pass either way.
+if "xla_cpu_max_isa" not in xla_flags:
+    xla_flags = (xla_flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = xla_flags
 
 import jax  # noqa: E402
 
