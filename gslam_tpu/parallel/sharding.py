@@ -50,6 +50,18 @@ def make_mesh(n_devices: int | None = None, axis: str = "cam") -> Mesh:
     return Mesh(devices, (axis,))
 
 
+def make_hybrid_mesh(n_gauss: int, n_cam: int) -> Mesh:
+    """2D mesh for hybrid splat-band x camera-DP parallelism. Axis order is
+    ('gauss', 'cam') so camera all-reduces ride the mesh minor axis —
+    on a real TPU slice lay the minor axis along the fastest ICI ring."""
+    import numpy as np
+
+    devices = np.asarray(jax.devices()[: n_gauss * n_cam]).reshape(
+        n_gauss, n_cam
+    )
+    return Mesh(devices, ("gauss", "cam"))
+
+
 def camera_dp_shardings(mesh: Mesh):
     """(replicated, camera-sharded) NamedShardings."""
     return NamedSharding(mesh, P()), NamedSharding(mesh, P("cam"))
@@ -194,6 +206,48 @@ def make_gauss_mapping_step(mesh: Mesh, width: int, height: int,
                 mesh=mesh,
                 in_specs=(P(axis), P(), P()),
                 out_specs=P(),
+                check_vma=False,
+            )(g, viewmats, Ks)
+            rendered = apply_exposure(rgb, exposures)
+            photo = mapping_photometric(
+                rendered, gt_imgs, beta, active_gs=cfg.active_gs)
+            ssim_loss = 1.0 - jnp.mean(ssim_per_image(rgb, gt_imgs))
+            return (1.0 - cfg.ssim_weight) * photo + cfg.ssim_weight * ssim_loss
+
+        g_map, g_pose = jax.grad(loss_fn, argnums=(0, 1))(
+            gmap.trainable(), pose_vec)
+        gmap2, opt2 = adam_step(gmap, g_map, opt_state)
+        return gmap2, opt2, pose_vec - cfg.pose_lr * g_pose
+
+    return step
+
+
+def make_hybrid_mapping_step(mesh: Mesh, width: int, height: int,
+                             cfg: MapConfig = MapConfig()):
+    """Hybrid 2D parallel mapping step over a ('gauss', 'cam') mesh: the
+    splat buffer and Adam moments are sharded into depth bands along
+    'gauss' (model parallel — map capacity scales with the mesh), and the
+    window cameras are data-parallel along 'cam'. Collectives per step:
+    one small layer all_gather over 'gauss' inside the render, plus the
+    XLA-inserted splat-gradient all-reduce over 'cam'. Splat gradients
+    never cross 'gauss' (a splat only touches its own band's layer).
+    Loss matches make_gauss_mapping_step (zero-background composite)."""
+    gaxis, caxis = "gauss", "cam"
+    assert set((gaxis, caxis)) <= set(mesh.axis_names), mesh.axis_names
+
+    @jax.jit
+    def step(gmap: GaussianMap, opt_state: MaskedAdamState,
+             pose_vec, pose_base, gt_imgs, exposures, Ks):
+        def loss_fn(trainable, pose_vec):
+            g = gmap.with_trainable(trainable)
+            viewmats = pose_matrix(
+                PoseDelta(pose_base, pose_vec[:, :6], pose_vec[:, 6:9]))
+            rgb, alpha, depth, beta = jax.shard_map(
+                partial(_band_render, width=width, height=height, cfg=cfg,
+                        axis=gaxis),
+                mesh=mesh,
+                in_specs=(P(gaxis), P(caxis), P(caxis)),
+                out_specs=P(caxis),
                 check_vma=False,
             )(g, viewmats, Ks)
             rendered = apply_exposure(rgb, exposures)

@@ -19,6 +19,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gslam_tpu.mapping.gaussians import GaussianMap
@@ -214,3 +215,79 @@ def restore_system(path, system):
     next_index = (max(f.index for f in fe.frames) + 1) if fe.frames else 0
     system.start_index = next_index
     return next_index
+
+
+# ---------------- fused-runtime checkpoints ----------------
+
+
+def save_fused_checkpoint(path, state, frames_meta):
+    """Snapshot the fused runtime: every FusedState leaf (device pytree,
+    flattened in deterministic NamedTuple order) plus the host-side frame
+    metadata (index, timestamp, gt pose). The npz is self-describing
+    enough for `load_fused_checkpoint` to rebuild the state on any
+    backend; resume via `FusedSlam.run(..., resume_from=path)`.
+
+    Reference parity: the reference torch.save's the module with no
+    resume path (/root/reference/gslam/backend.py:897-899); this is the
+    fused-runtime counterpart of `save_checkpoint` above."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    leaves, _ = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i:04d}": np.asarray(v) for i, v in enumerate(leaves)}
+    n = len(frames_meta)
+    arrays["meta/indices"] = np.asarray(
+        [m[0] for m in frames_meta], np.int64)
+    arrays["meta/timestamps"] = np.asarray(
+        [m[1] if m[1] is not None else 0.0 for m in frames_meta], np.float64)
+    gt = np.full((n, 4, 4), np.nan, np.float32)
+    for i, m in enumerate(frames_meta):
+        if m[2] is not None:
+            gt[i] = np.asarray(m[2], np.float32)
+    arrays["meta/gt_poses"] = gt
+    arrays["meta/shape"] = np.asarray(
+        [state.gmap.capacity, state.kf.capacity,
+         state.kf.images.shape[1], state.kf.images.shape[2],
+         state.traj.shape[0]], np.int64)
+    np.savez_compressed(path, **arrays)
+
+
+def load_fused_checkpoint(path, cfg, seed: int = 0):
+    """Rebuild (FusedState, frames_meta) from `save_fused_checkpoint`
+    output. `cfg` must describe the same run (max_frames, PGO setting,
+    ...): the state template it produces must match the snapshot leaf for
+    leaf, and any mismatch raises with the offending leaf index."""
+    from gslam_tpu.runtime.fused import init_fused_state
+
+    data = np.load(Path(path), allow_pickle=False)
+    cap, kf_cap, height, width, max_frames = (
+        int(x) for x in data["meta/shape"])
+    if max_frames != cfg.max_frames:
+        raise ValueError(
+            f"checkpoint was taken with max_frames={max_frames} but the "
+            f"config says {cfg.max_frames}; trajectory buffers would not "
+            "line up — pass --max-frames to match")
+    template = init_fused_state(cfg, cap, kf_cap, height, width, seed)
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    leaves = []
+    for i, tmpl in enumerate(t_leaves):
+        key = f"leaf_{i:04d}"
+        if key not in data:
+            raise ValueError(
+                f"checkpoint has {sum(1 for k in data if k.startswith('leaf_'))}"
+                f" leaves but the config's state template has {len(t_leaves)}"
+                " — was it saved with a different PGO/config setting?")
+        v = data[key]
+        if tuple(v.shape) != tuple(np.shape(tmpl)):
+            raise ValueError(
+                f"leaf {i}: checkpoint shape {v.shape} != template "
+                f"{np.shape(tmpl)} — config mismatch")
+        leaves.append(jnp.asarray(v, dtype=tmpl.dtype))
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    gt = data["meta/gt_poses"]
+    frames_meta = [
+        (int(data["meta/indices"][i]), float(data["meta/timestamps"][i]),
+         None if np.isnan(gt[i]).any() else gt[i])
+        for i in range(len(data["meta/indices"]))
+    ]
+    return state, frames_meta

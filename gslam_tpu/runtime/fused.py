@@ -638,14 +638,24 @@ class FusedSlam:
         self.seed = seed
 
     def run(self, dataset, chunk: int = 16, eval_stride: int = 0,
-            sync_every: int = 8) -> dict:
+            sync_every: int = 8, resume_from=None,
+            checkpoint_every: int = 0, checkpoint_path=None) -> dict:
         """chunk > 1 folds frames with lax.scan (fewest dispatches);
         chunk == 1 dispatches slam_step per frame. Either way, one scalar
         is read back every `sync_every` frames to bound the transport
         backlog: letting many multi-second dispatches pile up unsynced
         crashes the axon TPU worker outright (docs/PERF.md rule 3 — this
         killed the first r3 flagship attempt at 30 enqueued chunks).
-        sync_every=0 disables the bound (CPU / small runs only)."""
+        sync_every=0 disables the bound (CPU / small runs only).
+
+        `resume_from` continues from a `save_fused_checkpoint` snapshot
+        (frames already in the snapshot are skipped); `checkpoint_every`
+        writes one to `checkpoint_path` every N frames, piggybacking on
+        the backlog-sync readbacks so it adds no extra dispatches."""
+        from gslam_tpu.runtime.checkpoint import (
+            load_fused_checkpoint, save_fused_checkpoint,
+        )
+
         H, W = self.height, self.width
         try:
             n_ds = len(dataset)
@@ -656,11 +666,22 @@ class FusedSlam:
                 f"dataset has {n_ds} frames but cfg.max_frames="
                 f"{self.cfg.max_frames}; trajectory buffers would silently "
                 "truncate — raise FusedConfig.max_frames")
-        state = init_fused_state(
-            self.cfg, self.capacity, self.kf_capacity, H, W, self.seed)
+        if resume_from:
+            state, resumed_meta = load_fused_checkpoint(
+                resume_from, self.cfg, self.seed)
+            self.capacity = state.gmap.capacity
+            skip_below = int(state.frame_count)
+            print(f"[fused] resumed at frame {skip_below} "
+                  f"(capacity {self.capacity}) from {resume_from}",
+                  flush=True)
+        else:
+            state = init_fused_state(
+                self.cfg, self.capacity, self.kf_capacity, H, W, self.seed)
+            resumed_meta, skip_below = [], 0
         K = jnp.asarray(dataset.camera.K, jnp.float32)
 
-        frames_meta = []  # (index, timestamp, gt_pose) host-side only
+        frames_meta = list(resumed_meta)  # (index, timestamp, gt_pose)
+        since_ckpt = 0
         t_start = time.time()
         buf_imgs, buf_depths = [], []
         unsynced = 0  # frames dispatched since the last backlog sync
@@ -682,6 +703,16 @@ class FusedSlam:
                 print(f"[fused] grew capacity {cap} -> {new_cap} "
                       f"(live {live})", flush=True)
 
+        def maybe_checkpoint():
+            # called at backlog-sync points (state already drained there)
+            nonlocal since_ckpt
+            if (checkpoint_every and checkpoint_path
+                    and since_ckpt >= checkpoint_every):
+                save_fused_checkpoint(checkpoint_path, state, frames_meta)
+                since_ckpt = 0
+                print(f"[fused] checkpoint @ frame {len(frames_meta)} -> "
+                      f"{checkpoint_path}", flush=True)
+
         def flush():
             nonlocal state, buf_imgs, buf_depths, unsynced
             if not buf_imgs:
@@ -697,10 +728,14 @@ class FusedSlam:
                 print(f"[fused] frame {fc} synced at "
                       f"{time.time() - t_start:.1f}s", flush=True)
                 maybe_grow()
+                maybe_checkpoint()
 
         zeros_depth = np.zeros((H, W), np.float32)
         for frame in iter(dataset):
+            if frame.index < skip_below:
+                continue  # already folded into the resumed state
             frames_meta.append((frame.index, frame.timestamp, frame.gt_pose))
+            since_ckpt += 1
             if len(frames_meta) > self.cfg.max_frames:
                 raise ValueError(
                     f"stream exceeded cfg.max_frames={self.cfg.max_frames}; "
@@ -735,6 +770,7 @@ class FusedSlam:
                     print(f"[fused] frame {fc} synced at "
                           f"{time.time() - t_start:.1f}s", flush=True)
                     maybe_grow()
+                    maybe_checkpoint()
             else:
                 buf_imgs.append(np.asarray(frame.image, np.float32))
                 buf_depths.append(depth)

@@ -77,7 +77,10 @@ def build_parser():
                    default="null",
                    help="per-frame streaming telemetry sink")
     p.add_argument("--resume", type=str, default=None,
-                   help="checkpoint .npz to resume from (actor runtime only)")
+                   help="checkpoint .npz to resume from (actor or fused)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="fused runtime: write a resumable checkpoint every "
+                        "N frames (0 = never)")
     p.add_argument("--eval-stride", type=int, default=4,
                    help="evaluate PSNR/SSIM on every k-th frame at the end")
     p.add_argument("--sync-every", type=int, default=8,
@@ -185,10 +188,6 @@ def main(argv=None):
     cfg = apply_overrides(cfg, args.set)
 
     if args.fused:
-        if args.resume:
-            raise SystemExit(
-                "--resume is only supported by the actor runtime; "
-                "drop --fused or --resume")
         import numpy as np
 
         from gslam_tpu.runtime.fused import FusedConfig, FusedSlam
@@ -213,7 +212,10 @@ def main(argv=None):
                          capacity=cfg.capacity, kf_capacity=cfg.kf_capacity)
         metrics = slam.run(dataset, chunk=args.chunk,
                            eval_stride=args.eval_stride,
-                           sync_every=args.sync_every)
+                           sync_every=args.sync_every,
+                           resume_from=args.resume,
+                           checkpoint_every=args.checkpoint_every,
+                           checkpoint_path=run_dir / "fused_ckpt.npz")
         (run_dir / "metrics.json").write_text(json.dumps(metrics, indent=2))
         np.save(run_dir / "trajectory.npy", slam.trajectory)
         print(json.dumps(metrics, indent=2))

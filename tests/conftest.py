@@ -6,7 +6,11 @@ exercised without TPU hardware. The env vars must be set before jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the shell exports JAX_PLATFORMS=axon, under which
+# merely importing jax loads the TPU plugin — and if the remote worker is
+# wedged, plugin discovery retry-sleeps forever before conftest's config
+# update can switch to CPU. Tests are CPU-only by design.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()

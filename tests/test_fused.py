@@ -248,3 +248,43 @@ def test_grow_fused_state_permutes_kf_vis():
         np.testing.assert_array_equal(pre_vis[:, i_pre], post_vis[:, j])
     # the freshly padded slots carry no visibility
     assert not post_vis[:, 512:].any()
+
+
+def test_fused_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Checkpoint mid-run, reload in a fresh FusedSlam, finish — the
+    resumed trajectory and map match the uninterrupted run (same state,
+    same programs; only the host sync schedule differs)."""
+    ds = SyntheticDataset(seq_len=8, width=80, height=60, n_splats=600,
+                          seed=3, motion_scale=0.015)
+    cfg = small_fused_cfg(
+        init_n_new=1500,
+        mapping=MapConfig(window_size=4, recent_window=4, num_iters_init=40,
+                          num_iters_mapping=5, kf_m=0.04, render=RCFG),
+    )
+    ref = FusedSlam(cfg, 80, 60, capacity=4096, kf_capacity=8, seed=0)
+    m_ref = ref.run(ds, chunk=1, sync_every=3)
+
+    ckpt = tmp_path / "fused_ckpt.npz"
+    first = FusedSlam(cfg, 80, 60, capacity=4096, kf_capacity=8, seed=0)
+    # syncs land at frames 0, 2, 5; checkpoint_every=4 -> the last (and
+    # only) snapshot is at frame 5, so resume still has frames 6-7 to do
+    m_first = first.run(ds, chunk=1, sync_every=3, checkpoint_every=4,
+                        checkpoint_path=ckpt)
+    assert ckpt.exists()
+    assert m_first["L"] == m_ref["L"]
+    from gslam_tpu.runtime.checkpoint import load_fused_checkpoint
+    st_ck, meta_ck = load_fused_checkpoint(str(ckpt), cfg, seed=0)
+    assert int(st_ck.frame_count) == 6, int(st_ck.frame_count)
+    assert len(meta_ck) == 6
+
+    second = FusedSlam(cfg, 80, 60, capacity=4096, kf_capacity=8, seed=0)
+    m2 = second.run(ds, chunk=1, sync_every=3, resume_from=str(ckpt))
+    assert m2["L"] == 8
+    assert m2["C"] == m_ref["C"], (m2["C"], m_ref["C"])
+    np.testing.assert_allclose(
+        np.asarray(second.trajectory), np.asarray(ref.trajectory),
+        atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(second.final_state.gmap.means),
+        np.asarray(ref.final_state.gmap.means), atol=1e-4)
+    assert abs(m2["ate"] - m_ref["ate"]) < 1e-4, (m2["ate"], m_ref["ate"])

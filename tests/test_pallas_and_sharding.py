@@ -215,3 +215,61 @@ def test_gauss_sharded_mapping_step(rng):
     assert bool(jnp.isfinite(g2.means).all())
     assert "gauss" in str(g2.means.sharding)
     assert not np.allclose(np.asarray(g2.means), np.asarray(gmap.means))
+
+
+@pytest.mark.skipif(_n_devices() < 8, reason="needs 8 devices")
+def test_hybrid_2d_mapping_step_matches_1device(rng):
+    """Hybrid (2 gauss-bands x 4 cam) 2D-mesh mapping step == the same
+    math on a trivial 1-device mesh: splat params/moments stay band-
+    sharded, cameras data-parallel, updates bitwise-close."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gslam_tpu.mapping.backend_ops import MapConfig
+    from gslam_tpu.mapping.gaussians import empty_map
+    from gslam_tpu.mapping.optimizer import MaskedAdamState, init_adam
+    from gslam_tpu.parallel.sharding import (
+        make_gauss_mapping_step, make_hybrid_mapping_step, make_hybrid_mesh,
+        make_mesh, partition_by_depth,
+    )
+
+    n, w, h = 96, 64, 48
+    params, viewmats, Ks, *_ = make_scene(rng, n=n, width=w, height=h)
+    gmap = empty_map(n)._replace(**params)
+    gmap, opt = partition_by_depth(gmap, jnp.eye(4), init_adam(gmap))
+    C = 4
+    gt = jnp.asarray(rng.random((C, h, w, 3)).astype(np.float32))
+    pose_vec = jnp.zeros((C, 9))
+    pose_base = jnp.tile(jnp.eye(4)[None], (C, 1, 1))
+    pose_base = pose_base.at[:, 0, 3].add(0.02 * jnp.arange(C))
+    exposures = jnp.zeros((C, 2))
+    Ks2 = jnp.tile(Ks, (C, 1, 1))
+    cfg = MapConfig(render=RenderConfig(backend="jnp", tile_capacity=64,
+                                        tile_chunk=2))
+
+    ref_step = make_gauss_mapping_step(make_mesh(1, axis="gauss"), w, h, cfg)
+    g_ref, _, p_ref = ref_step(gmap, opt, pose_vec, pose_base, gt,
+                               exposures, Ks2)
+
+    mesh = make_hybrid_mesh(2, 4)
+    shard = NamedSharding(mesh, P("gauss"))
+    repl = NamedSharding(mesh, P())
+    cam = NamedSharding(mesh, P("cam"))
+    gmap_s = jax.device_put(gmap, shard)
+    opt_s = MaskedAdamState(
+        mu=jax.device_put(opt.mu, shard),
+        nu=jax.device_put(opt.nu, shard),
+        count=jax.device_put(opt.count, repl),
+    )
+    step = make_hybrid_mapping_step(mesh, w, h, cfg)
+    g2, o2, p2 = step(gmap_s, opt_s, jax.device_put(pose_vec, cam),
+                      jax.device_put(pose_base, cam),
+                      jax.device_put(gt, cam),
+                      jax.device_put(exposures, cam),
+                      jax.device_put(Ks2, cam))
+    jax.block_until_ready(g2.means)
+    assert "gauss" in str(g2.means.sharding)
+    np.testing.assert_allclose(np.asarray(g2.means), np.asarray(g_ref.means),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g2.logit_colors),
+                               np.asarray(g_ref.logit_colors), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p_ref), atol=2e-5)
