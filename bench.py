@@ -445,8 +445,34 @@ def section_onemillion():
 # ------------------------------------------------------------ orchestrator
 
 
+def preflight():
+    """Tiny matmul + readback in a subprocess with a hard timeout.
+
+    The axon TPU worker wedges after kernel faults and can stay down for
+    hours (docs/PERF.md rule 5); while it is down, every section
+    subprocess hangs at its first device op and burns its whole budget.
+    Probe once up front so a dead chip yields a fast, self-describing
+    result instead of 30 minutes of silent timeouts."""
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()))")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=120, cwd=REPO,
+        )
+        return proc.returncode == 0 and "64.0" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def run_sections():
     parts = {}
+    if not preflight():
+        parts["errors"] = [
+            "preflight: device unreachable (worker wedged or platform "
+            "init hangs) — all sections skipped; see docs/PERF.md rule 5"
+        ]
+        return parts
     for section, budget in (("tracking", 480), ("mapping", 480),
                             ("onemillion", 840)):
         try:
