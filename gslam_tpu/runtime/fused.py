@@ -670,7 +670,11 @@ class FusedSlam:
             state, resumed_meta = load_fused_checkpoint(
                 resume_from, self.cfg, self.seed)
             self.capacity = state.gmap.capacity
-            skip_below = int(state.frame_count)
+            # len(resumed_meta) == frame_count (asserted in tests); using
+            # the host-side value avoids a device readback here, which
+            # would flip the axon transport into its slow post-readback
+            # dispatch mode before the run even starts (docs/PERF.md).
+            skip_below = len(resumed_meta)
             print(f"[fused] resumed at frame {skip_below} "
                   f"(capacity {self.capacity}) from {resume_from}",
                   flush=True)

@@ -10,8 +10,14 @@ import numpy as np
 
 
 def main():
+    # usage: debug_fused_scan.py [chunk] [n_frames] [mapping_loop] [backend]
+    # variant matrix for the scan fault (docs/PERF.md): mapping_loop
+    # 'fori' removes the while_loop nested under scan; backend 'jnp'
+    # removes Pallas from the program.
     chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    mapping_loop = sys.argv[3] if len(sys.argv) > 3 else "while"
+    backend = sys.argv[4] if len(sys.argv) > 4 else "auto"
 
     import jax
     import jax.numpy as jnp
@@ -28,18 +34,19 @@ def main():
     )
 
     W, H = 320, 240
-    rcfg = RenderConfig()
+    rcfg = RenderConfig(backend=backend)
     cfg = FusedConfig(
         tracking=TrackingConfig(render=rcfg),
         mapping=MapConfig(render=rcfg, num_iters_init=50),
         max_frames=max(n_frames, 8), init_n_new=2000, kf_n_new=100,
-        idle_iters=5,
+        idle_iters=5, mapping_loop=mapping_loop,
     )
     ds = SyntheticDataset(seq_len=n_frames, width=W, height=H, n_splats=4000,
                           seed=1, motion_scale=0.02)
     state = init_fused_state(cfg, 16384, 16, H, W, 0)
     K = jnp.asarray(ds.camera.K, jnp.float32)
-    print(f"device: {jax.devices()[0]} chunk={chunk}", flush=True)
+    print(f"device: {jax.devices()[0]} chunk={chunk} "
+          f"loop={mapping_loop} backend={backend}", flush=True)
 
     frames = list(iter(ds))
     for c0 in range(0, n_frames, chunk):

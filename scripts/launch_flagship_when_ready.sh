@@ -96,3 +96,15 @@ fi
 log "running bench.py validation"
 timeout 2400 python bench.py > /tmp/bench_chip_test.json 2>/tmp/bench_chip_test.err
 log "bench exited rc=$? -> /tmp/bench_chip_test.json"
+
+# LAST (each probe can fault the worker): bisect the slam_scan chunked
+# dispatch by control-flow variant — fori removes the while_loop nested
+# under scan, jnp removes Pallas. First variant that survives chunk 8
+# becomes the chip chunking mode.
+for variant in "8 16 fori jnp" "8 16 fori auto" "8 16 while jnp"; do
+  probe || { log "worker down before scan probe [$variant]; stopping"; break; }
+  log "scan probe [$variant]"
+  timeout 1800 python scripts/debug_fused_scan.py $variant \
+    > "/tmp/scan_probe_${variant// /_}.log" 2>&1
+  log "scan probe [$variant] rc=$? (see /tmp/scan_probe_${variant// /_}.log)"
+done
