@@ -108,6 +108,11 @@ class FusedConfig:
     # "fori" = static trip count with a cond-skipped body (identical result,
     # scan-friendly control flow — see docs/PERF.md on the slam_scan fault).
     mapping_loop: str = "while"
+    # Multi-frame dispatch flavor used when FusedSlam.run(chunk > 1):
+    # "scan" = lax.scan over the chunk (smallest program; faults the axon
+    # TPU worker), "unroll" = trace-time unrolled steps (program grows with
+    # chunk length but contains no scan nesting).
+    chunk_backend: str = "scan"
 
     @property
     def insertion(self) -> InsertionConfig:
@@ -626,6 +631,28 @@ def slam_scan(
     return state
 
 
+@partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def slam_chunk_unrolled(
+    state: FusedState,
+    images: jax.Array,  # [C, H, W, 3]
+    gt_depths: jax.Array,  # [C, H, W]
+    K: jax.Array,
+    width: int,
+    height: int,
+    cfg: FusedConfig,
+) -> FusedState:
+    """Offline chunk WITHOUT lax.scan: the per-frame steps are unrolled at
+    trace time. Gets the same one-dispatch-per-chunk transport benefit as
+    `slam_scan` while avoiding the scan(+while_loop+cond+Pallas) nesting
+    that faults the axon TPU worker (docs/PERF.md rule on the slam_scan
+    fault). Cost: compile time and program size grow ~linearly with the
+    chunk length, so keep chunks modest (4-16)."""
+    for j in range(images.shape[0]):
+        state = slam_step_impl(
+            state, images[j], gt_depths[j], K, width, height, cfg)
+    return state
+
+
 class FusedSlam:
     """Host driver around the fused step: streams frames in, reads results
     back once at the end. `chunk` frames are folded per dispatch."""
@@ -723,7 +750,9 @@ class FusedSlam:
                 return
             imgs = jnp.asarray(np.stack(buf_imgs), jnp.float32)
             deps = jnp.asarray(np.stack(buf_depths), jnp.float32)
-            state = slam_scan(state, imgs, deps, K, W, H, self.cfg)
+            chunk_fn = (slam_chunk_unrolled
+                        if self.cfg.chunk_backend == "unroll" else slam_scan)
+            state = chunk_fn(state, imgs, deps, K, W, H, self.cfg)
             unsynced += len(buf_imgs)
             buf_imgs, buf_depths = [], []
             if sync_every and unsynced >= sync_every:

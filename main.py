@@ -51,6 +51,11 @@ def build_parser():
                    help="device-resident fused SLAM core: one XLA program "
                         "per frame, zero host readbacks until the end "
                         "(runtime/fused.py)")
+    p.add_argument("--chunk-backend", choices=["scan", "unroll"],
+                   default="scan",
+                   help="multi-frame dispatch flavor for --chunk > 1: "
+                        "lax.scan (smallest program) or trace-time unroll "
+                        "(no scan nesting; see docs/PERF.md)")
     p.add_argument("--chunk", type=int, default=16,
                    help="frames folded per dispatch in --fused mode")
     p.add_argument("--init-ipd", type=int, default=None,
@@ -206,7 +211,12 @@ def main(argv=None):
             init_iters_per_dispatch=ipd,
             max_capacity=args.max_capacity,
             use_gt_depths=args.use_gt_depths,
-            mapping_loop="fori" if args.chunk > 1 else "while",
+            # scan needs scan-friendly (static trip count) mapping control
+            # flow; per-frame and unrolled chunks keep the while_loop
+            # plateau early-exit.
+            mapping_loop=("fori" if args.chunk > 1
+                          and args.chunk_backend == "scan" else "while"),
+            chunk_backend=args.chunk_backend,
         )
         slam = FusedSlam(fcfg, cam.width, cam.height,
                          capacity=cfg.capacity, kf_capacity=cfg.kf_capacity)

@@ -18,6 +18,9 @@ def main():
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     mapping_loop = sys.argv[3] if len(sys.argv) > 3 else "while"
     backend = sys.argv[4] if len(sys.argv) > 4 else "auto"
+    # 5th arg: 'scan' (lax.scan chunk) or 'unroll' (trace-time unrolled
+    # chunk, no scan nesting — the axon-safe candidate).
+    chunk_backend = sys.argv[5] if len(sys.argv) > 5 else "scan"
 
     import jax
     import jax.numpy as jnp
@@ -30,7 +33,7 @@ def main():
     from gslam_tpu.ops.rasterize import RenderConfig
     from gslam_tpu.tracking.track import TrackingConfig
     from gslam_tpu.runtime.fused import (
-        FusedConfig, init_fused_state, slam_scan,
+        FusedConfig, init_fused_state, slam_chunk_unrolled, slam_scan,
     )
 
     W, H = 320, 240
@@ -46,7 +49,9 @@ def main():
     state = init_fused_state(cfg, 16384, 16, H, W, 0)
     K = jnp.asarray(ds.camera.K, jnp.float32)
     print(f"device: {jax.devices()[0]} chunk={chunk} "
-          f"loop={mapping_loop} backend={backend}", flush=True)
+          f"loop={mapping_loop} backend={backend} "
+          f"chunk_backend={chunk_backend}", flush=True)
+    chunk_fn = slam_chunk_unrolled if chunk_backend == "unroll" else slam_scan
 
     frames = list(iter(ds))
     for c0 in range(0, n_frames, chunk):
@@ -55,7 +60,7 @@ def main():
             np.stack([np.asarray(f.image, np.float32) for f in batch]))
         deps = jnp.zeros((len(batch), H, W), jnp.float32)
         t0 = time.time()
-        state = slam_scan(state, imgs, deps, K, W, H, cfg)
+        state = chunk_fn(state, imgs, deps, K, W, H, cfg)
         fc = int(state.frame_count)  # per-chunk readback: bounded backlog
         print(f"chunk @{c0}: frame_count={fc} ({time.time()-t0:.1f}s)",
               flush=True)

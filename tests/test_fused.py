@@ -166,6 +166,25 @@ def test_fused_chunk_invariance():
     assert ma["C"] == mb["C"]
 
 
+def test_fused_unrolled_chunk_matches_per_frame():
+    """chunk_backend='unroll' folds k frames into one program by trace-time
+    unrolling of the SAME slam_step_impl the per-frame mode dispatches, so
+    the trajectories must agree to float tolerance (no scan involved; this
+    is the axon-safe chunked dispatch, docs/PERF.md)."""
+    ds = SyntheticDataset(seq_len=6, width=64, height=48, n_splats=400,
+                          seed=4, motion_scale=0.01)
+    a = FusedSlam(small_fused_cfg(max_frames=8), 64, 48, capacity=1024,
+                  kf_capacity=8, seed=0)
+    ma = a.run(ds, chunk=1, sync_every=0)
+    ds2 = SyntheticDataset(seq_len=6, width=64, height=48, n_splats=400,
+                           seed=4, motion_scale=0.01)
+    b = FusedSlam(small_fused_cfg(max_frames=8, chunk_backend="unroll"),
+                  64, 48, capacity=1024, kf_capacity=8, seed=0)
+    mb = b.run(ds2, chunk=3)
+    np.testing.assert_allclose(a.trajectory, b.trajectory, atol=1e-5)
+    assert ma["C"] == mb["C"]
+
+
 def test_fused_init_split_matches_monolithic():
     """Splitting the bootstrap optimization across short dispatches
     (init_iters_per_dispatch + host-driven slam_refine) runs the same
