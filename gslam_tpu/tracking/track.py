@@ -47,6 +47,14 @@ class TrackingConfig:
     lbfgs_max_iter: int = 60
     lbfgs_max_eval: int = 75
     lbfgs_history: int = 5
+    # Divergence guard: reject the refined pose (fall back to the motion
+    # prior) when the optimizer returns a non-finite result or a per-frame
+    # translation delta larger than this bound (map units; per-frame motion
+    # is a few cm, so 0.5 is generous). The r3 flagship went NaN at frame
+    # 24 and ran blind for 136 more frames because nothing checked this —
+    # see VERDICT r3. Rejections are counted in FusedState.health and
+    # surfaced at the host's backlog-sync readbacks.
+    max_step: float = 0.5
     learn_exposure: bool = True
     use_gt_depths: bool = False
     depth_loss_weight: float = 0.01
@@ -60,6 +68,7 @@ class TrackResult(NamedTuple):
     exposure: jax.Array  # [2]
     loss: jax.Array  # [] final photometric loss
     n_evals: jax.Array  # [] int32 loss/grad evaluations used
+    rejected: jax.Array  # [] bool — guard fired; pose is the fallback prior
 
 
 def constant_motion_prior(pose_a: jax.Array, pose_b: jax.Array) -> jax.Array:
@@ -149,8 +158,21 @@ def track_frame_impl(
         lr=cfg.pose_lr,
         warmup_lr=cfg.pose_lr,
     )
+    # Divergence guard: a non-finite result or an implausibly large pose
+    # delta means the optimization left the photometric basin — keep the
+    # motion prior instead of poisoning the trajectory/map with it.
+    ok = (
+        jnp.all(jnp.isfinite(x))
+        & jnp.isfinite(f)
+        & (jnp.linalg.norm(x[6:9]) < cfg.max_step)
+    )
+    x = jnp.where(ok, x, x0)
+    # Loss sentinel on rejection: finite (NaN would poison downstream
+    # means) but far above any real photometric loss.
+    f = jnp.where(ok, f, jnp.float32(1e3))
     pose, exposure = unpack(x)
-    return TrackResult(pose=pose, exposure=exposure, loss=f, n_evals=n_evals)
+    return TrackResult(pose=pose, exposure=exposure, loss=f, n_evals=n_evals,
+                       rejected=~ok)
 
 
 # Jitted public entry point for eager (host-level) callers.

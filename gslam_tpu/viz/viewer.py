@@ -73,23 +73,85 @@ class TrainUtilThrottle:
         return False
 
 
-def serve_viewer(gmap, width=640, height=480, port=8080, map_config=None):
-    try:
-        import viser
-    except ImportError as e:  # pragma: no cover - viser not in image
-        raise RuntimeError(
-            "viser is not installed in this environment; use "
-            "`python view.py <ckpt> --out dir` for offline orbit renders"
-        ) from e
-
+def render_viewer_target(gmap, target_type: str, w2c, K, width, height, cfg):
+    """Render one viewer frame for a given target ('rgb' | 'depth' |
+    'n_touched') as a uint8 image — the pure compute half of the serve
+    loop, shared by the live server and the stub-driven tests."""
     import jax.numpy as jnp
-    from gslam_tpu.mapping.backend_ops import MapConfig, render_view_stats
+    from gslam_tpu.mapping.backend_ops import render_view_stats
     from gslam_tpu.viz.visualization import false_colormap
+
+    vs = render_view_stats(
+        gmap, jnp.asarray(w2c), jnp.asarray(K), width, height, cfg
+    )
+    if target_type == "rgb":
+        return np.uint8(np.clip(np.asarray(vs.rgb), 0, 1) * 255)
+    if target_type == "depth":
+        return false_colormap(np.asarray(vs.depth))
+    # Per-pixel n_touched visualization: re-render with each splat's color
+    # set to its normalized touch count, so the blended image shows which
+    # regions are dominated by widely-visible splats. (The reference's own
+    # n_touched target at backend.py:184-187 tiles a per-splat vector and
+    # never forms a valid image; this is the intent.)
+    from gslam_tpu.ops.rasterize import render as _render
+
+    nt = jnp.asarray(vs.n_touched).astype(jnp.float32)
+    norm = jnp.clip(nt / jnp.maximum(nt.max(), 1.0), 1e-4, 1 - 1e-4)
+    fake_colors = jnp.log(norm / (1.0 - norm))  # logit
+    out = _render(
+        **{
+            **gmap.render_kwargs(),
+            "logit_colors": jnp.tile(fake_colors[:, None], (1, 3)),
+        },
+        viewmats=jnp.asarray(w2c)[None], Ks=jnp.asarray(K)[None],
+        width=width, height=height, cfg=cfg.render,
+    )
+    return false_colormap(np.asarray(out.rgb[0, :, :, 0]))
+
+
+def camera_to_w2c_K(wxyz, position, fov, width, height):
+    """viser CameraState (wxyz quaternion, position, vertical fov) ->
+    (world-to-camera [4,4], K [3,3]) — reference viewer.py:14-29."""
+    import jax.numpy as jnp
+    from gslam_tpu.core.transforms import quaternion_to_matrix
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = np.asarray(
+        quaternion_to_matrix(jnp.asarray(wxyz, jnp.float32)))
+    c2w[:3, 3] = np.asarray(position, np.float32)
+    w2c = np.linalg.inv(c2w)
+    fy = height / (2.0 * np.tan(fov / 2.0))
+    K = np.array(
+        [[fy, 0, width / 2], [0, fy, height / 2], [0, 0, 1]], np.float32
+    )
+    return w2c, K
+
+
+def serve_viewer(gmap, width=640, height=480, port=8080, map_config=None,
+                 server=None, block=True):
+    """Serve the interactive viewer. `server` defaults to a real
+    viser.ViserServer; tests inject a stub object with the same GUI
+    surface (gui.add_folder/button/dropdown/slider, on_client_connect,
+    client.camera, client.scene.set_background_image) so the full serve
+    path executes without the SDK. `block=False` returns the wired
+    ViewerState instead of parking the main thread."""
+    from gslam_tpu.mapping.backend_ops import MapConfig
+
+    if server is None:
+        try:
+            import viser
+        except ImportError as e:  # pragma: no cover - viser not in image
+            raise RuntimeError(
+                "viser is not installed in this environment; use "
+                "`python view.py <ckpt> --out dir` for offline orbit renders"
+            ) from e
+
+        server = viser.ViserServer(port=port, verbose=False)
 
     cfg = map_config or MapConfig()
     state = ViewerState()
     state.throttle = TrainUtilThrottle()
-    server = viser.ViserServer(port=port, verbose=False)
+    state.stop = False
 
     with server.gui.add_folder("gslam_tpu"):
         pause_btn = server.gui.add_button("pause/resume")
@@ -113,7 +175,7 @@ def serve_viewer(gmap, width=640, height=480, port=8080, map_config=None):
         state.throttle.train_util = util.value
 
     @server.on_client_connect
-    def _(client: "viser.ClientHandle"):
+    def _(client):
         import threading
         import time
 
@@ -122,59 +184,25 @@ def serve_viewer(gmap, width=640, height=480, port=8080, map_config=None):
             state.throttle.note_move(time.time())
 
         def loop():
-            while True:
+            while not state.stop:
                 if state.paused:
                     time.sleep(0.1)
                     continue
                 cam = client.camera
-                c2w = np.eye(4, dtype=np.float32)
-                import scipy.spatial.transform as sst
-
-                c2w[:3, :3] = sst.Rotation.from_quat(np.roll(cam.wxyz, -1)).as_matrix()
-                c2w[:3, 3] = cam.position
-                w2c = np.linalg.inv(c2w)
-                fy = height / (2.0 * np.tan(cam.fov / 2.0))
-                K = jnp.asarray(np.array(
-                    [[fy, 0, width / 2], [0, fy, height / 2], [0, 0, 1]],
-                    np.float32,
-                ))
-                vs = render_view_stats(
-                    gmap, jnp.asarray(w2c), K, width, height, cfg
-                )
-                if state.target_type == "rgb":
-                    img = np.uint8(np.clip(np.asarray(vs.rgb), 0, 1) * 255)
-                elif state.target_type == "depth":
-                    img = false_colormap(np.asarray(vs.depth))
-                else:
-                    # Per-pixel n_touched visualization: re-render with each
-                    # splat's color set to its normalized touch count, so the
-                    # blended image shows which regions are dominated by
-                    # widely-visible splats. (The reference's own n_touched
-                    # target at backend.py:184-187 tiles a per-splat vector
-                    # and never forms a valid image; this is the intent.)
-                    from gslam_tpu.ops.rasterize import render as _render
-
-                    nt = jnp.asarray(vs.n_touched).astype(jnp.float32)
-                    norm = jnp.clip(nt / jnp.maximum(nt.max(), 1.0), 1e-4, 1 - 1e-4)
-                    fake_colors = jnp.log(norm / (1.0 - norm))  # logit
-                    out = _render(
-                        **{
-                            **gmap.render_kwargs(),
-                            "logit_colors": jnp.tile(
-                                fake_colors[:, None], (1, 3)
-                            ),
-                        },
-                        viewmats=jnp.asarray(w2c)[None], Ks=K[None],
-                        width=width, height=height, cfg=cfg.render,
-                    )
-                    img = false_colormap(np.asarray(out.rgb[0, :, :, 0]))
+                w2c, K = camera_to_w2c_K(
+                    cam.wxyz, cam.position, cam.fov, width, height)
+                img = render_viewer_target(
+                    gmap, state.target_type, w2c, K, width, height, cfg)
                 client.scene.set_background_image(img, format="jpeg")
                 time.sleep(0.05)
 
         threading.Thread(target=loop, daemon=True).start()
 
+    if not block:
+        return state
     print(f"viser viewer on port {port}; ctrl-c to stop")
     import time
 
-    while True:
+    while not state.stop:
         time.sleep(1.0)
+    return state

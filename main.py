@@ -28,7 +28,8 @@ def build_parser():
     p.add_argument("--scene", type=str, default=None, help="dataset directory")
     p.add_argument(
         "--dataset",
-        choices=["tum", "replica", "synthetic", "npz", "video", "oak"],
+        choices=["tum", "replica", "synthetic", "raytrace", "npz", "video",
+                 "oak"],
         default="tum",
     )
     p.add_argument("--seq-len", type=int, default=-1)
@@ -147,6 +148,7 @@ def main(argv=None):
                         format="[%(levelname)s] %(name)s: %(message)s")
 
     from gslam_tpu.core.compile_cache import enable_compile_cache
+    from gslam_tpu.eval.metrics import sanitize_metrics
     from gslam_tpu.io import build_dataset
     from gslam_tpu.runtime.system import SlamConfig, SlamSystem
     from gslam_tpu.mapping.backend_ops import MapConfig
@@ -157,7 +159,7 @@ def main(argv=None):
     ds_kwargs = {}
     if args.dataset == "tum":
         ds_kwargs["downscale"] = args.downscale
-    if args.dataset == "synthetic":
+    if args.dataset in ("synthetic", "raytrace"):
         ds_kwargs.update(
             width=args.width, height=args.height, n_splats=args.n_splats,
             motion_scale=args.motion_scale, seed=args.seed,
@@ -216,7 +218,6 @@ def main(argv=None):
             # plateau early-exit.
             mapping_loop=("fori" if args.chunk > 1
                           and args.chunk_backend == "scan" else "while"),
-            chunk_backend=args.chunk_backend,
         )
         slam = FusedSlam(fcfg, cam.width, cam.height,
                          capacity=cfg.capacity, kf_capacity=cfg.kf_capacity)
@@ -225,10 +226,13 @@ def main(argv=None):
                            sync_every=args.sync_every,
                            resume_from=args.resume,
                            checkpoint_every=args.checkpoint_every,
-                           checkpoint_path=run_dir / "fused_ckpt.npz")
-        (run_dir / "metrics.json").write_text(json.dumps(metrics, indent=2))
+                           checkpoint_path=run_dir / "fused_ckpt.npz",
+                           chunk_backend=args.chunk_backend)
+        (run_dir / "metrics.json").write_text(
+            json.dumps(sanitize_metrics(metrics), indent=2))
         np.save(run_dir / "trajectory.npy", slam.trajectory)
-        print(json.dumps(metrics, indent=2))
+        np.savez_compressed(run_dir / "telemetry.npz", **slam.telemetry)
+        print(json.dumps(sanitize_metrics(metrics), indent=2))
         return metrics
 
     system = SlamSystem(cfg, cam.width, cam.height)
@@ -237,7 +241,7 @@ def main(argv=None):
 
         restore_system(args.resume, system)
     metrics = system.run(dataset)
-    print(json.dumps(metrics, indent=2))
+    print(json.dumps(sanitize_metrics(metrics), indent=2))
     return metrics
 
 

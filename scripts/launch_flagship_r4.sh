@@ -1,0 +1,119 @@
+#!/bin/bash
+# Round-4 flagship launcher: a quality-gated, health-monitored chip run.
+#
+# Hard gates, in order (VERDICT r3 items 1, 3, 10 — none may be waived):
+#   1. FAST TEST GATE: a < 5-min CPU test subset must be green.
+#   2. CPU QUALITY GATE: a completed CPU run of the SAME recipe on the
+#      first $GATE_FRAMES frames of the flagship dataset with finite
+#      ate < 0.05 and psnr >= 25. No in-flight waivers: this script
+#      BLOCKS until the gate run finishes.
+#   3. TPU HEALTH: /tmp/tpu_status says HEALTHY (scripts/tpu_poll.sh).
+# After the chip run, the artifact is committed ONLY if metrics.json has
+# finite ate < 0.05, psnr >= 25, diverged == false and zero non-finite
+# trajectory entries; otherwise a commit-refused line is logged.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+echo $$ > /tmp/flagship_r4.pid
+LOG=/tmp/flagship_r4.log
+log() { echo "$(date +%H:%M:%S) $*" >> "$LOG"; }
+
+DATASET=${DATASET:-runs/r4_scene/dataset.npz}
+RUN=${RUN:-r4_flagship}
+GATE_RUN=${GATE_RUN:-r4_gate_cpu}
+GATE_FRAMES=${GATE_FRAMES:-32}
+RECIPE=${RECIPE:---use-gt-depths --capacity 32768 --kf-capacity 32 --fused \
+  --chunk 1 --sync-every 4 --init-ipd 40 --eval-stride 4 \
+  --checkpoint-every 40 --set mapping.kf_m=0.04}
+
+check_metrics() {  # $1 = metrics.json, $2 = trajectory.npy (optional)
+  python - "$1" "${2:-}" <<'EOF'
+import json, sys
+import numpy as np
+try:
+    m = json.load(open(sys.argv[1]))
+except Exception as e:
+    print(f"gate: unreadable metrics ({e})"); sys.exit(1)
+ate, psnr = m.get("ate"), m.get("psnr")
+ok = (isinstance(ate, (int, float)) and np.isfinite(ate) and ate < 0.05
+      and isinstance(psnr, (int, float)) and psnr >= 25.0
+      and not m.get("diverged", False)
+      and m.get("nonfinite_poses", 0) == 0)
+if len(sys.argv) > 2 and sys.argv[2]:
+    t = np.load(sys.argv[2])
+    if not np.isfinite(t).all():
+        print("gate: non-finite trajectory entries"); sys.exit(1)
+print(f"gate: ate={ate} psnr={psnr} diverged={m.get('diverged')} -> "
+      f"{'PASS' if ok else 'FAIL'}")
+sys.exit(0 if ok else 1)
+EOF
+}
+
+# ---- gate 1: fast test subset (CPU) ----
+log "gate 1: fast test subset"
+if ! timeout 900 python -m pytest tests/test_transforms.py \
+    tests/test_opt_losses.py -x -q > /tmp/fast_gate.log 2>&1; then
+  log "FAST TEST GATE FAILED — aborting (see /tmp/fast_gate.log)"
+  exit 1
+fi
+log "gate 1 green"
+
+# ---- gate 2: completed CPU quality run on the flagship dataset ----
+if ! check_metrics "runs/$GATE_RUN/metrics.json" \
+    "runs/$GATE_RUN/trajectory.npy" >> "$LOG" 2>&1; then
+  log "gate 2: running CPU quality gate ($GATE_FRAMES frames) to completion"
+  timeout 43200 env JAX_PLATFORMS=cpu python -u main.py \
+    --dataset npz --scene "$DATASET" --seq-len "$GATE_FRAMES" \
+    --max-frames 200 $RECIPE --checkpoint-every 0 \
+    --run-name "$GATE_RUN" > /tmp/gate_cpu.log 2>&1
+  rc=$?
+  log "gate 2 run exited rc=$rc"
+  if ! check_metrics "runs/$GATE_RUN/metrics.json" \
+      "runs/$GATE_RUN/trajectory.npy" >> "$LOG" 2>&1; then
+    log "CPU QUALITY GATE FAILED — not launching; fix the recipe"
+    exit 1
+  fi
+fi
+log "gate 2 PASS"
+
+# ---- gate 3: TPU health (poller-driven; no direct probes from here) ----
+while true; do
+  st=$(cat /tmp/tpu_status 2>/dev/null || echo UNKNOWN)
+  [ "$st" = "HEALTHY" ] && break
+  log "gate 3: tpu=$st; waiting"
+  sleep 300
+done
+log "gate 3: TPU healthy; launching chip flagship"
+
+rc=1
+for attempt in 1 2 3; do
+  RESUME_ARGS=""
+  if [ -f "runs/$RUN/fused_ckpt.npz" ]; then
+    RESUME_ARGS="--resume runs/$RUN/fused_ckpt.npz"
+    log "attempt $attempt resumes from fused_ckpt.npz"
+  fi
+  timeout 9000 python -u main.py --dataset npz --scene "$DATASET" \
+    --max-frames 200 $RECIPE $RESUME_ARGS \
+    --run-name "$RUN" > /tmp/flagship_r4_run.log 2>&1
+  rc=$?
+  log "flagship attempt $attempt exited rc=$rc"
+  [ -f "runs/$RUN/metrics.json" ] && break
+  # crashed mid-run: wait for the poller to report recovery (<= 2 h)
+  for i in $(seq 1 24); do
+    [ "$(cat /tmp/tpu_status 2>/dev/null)" = "HEALTHY" ] && break
+    sleep 300
+  done
+  [ "$(cat /tmp/tpu_status 2>/dev/null)" = "HEALTHY" ] \
+    || { log "worker still down; giving up retries"; break; }
+done
+
+# ---- commit gate: refuse failure artifacts (VERDICT r3 item 3) ----
+if check_metrics "runs/$RUN/metrics.json" "runs/$RUN/trajectory.npy" \
+    >> "$LOG" 2>&1; then
+  git add "runs/$RUN/metrics.json" "runs/$RUN/args.txt" \
+          "runs/$RUN/trajectory.npy" "runs/$RUN/telemetry.npz" 2>/dev/null
+  git commit -q -m "Flagship chip run: quality-gated fused SLAM on the raytraced scene" \
+    && log "flagship artifact committed"
+else
+  log "COMMIT REFUSED: chip flagship failed the quality thresholds"
+fi

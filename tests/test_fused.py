@@ -178,9 +178,9 @@ def test_fused_unrolled_chunk_matches_per_frame():
     ma = a.run(ds, chunk=1, sync_every=0)
     ds2 = SyntheticDataset(seq_len=6, width=64, height=48, n_splats=400,
                            seed=4, motion_scale=0.01)
-    b = FusedSlam(small_fused_cfg(max_frames=8, chunk_backend="unroll"),
+    b = FusedSlam(small_fused_cfg(max_frames=8),
                   64, 48, capacity=1024, kf_capacity=8, seed=0)
-    mb = b.run(ds2, chunk=3)
+    mb = b.run(ds2, chunk=3, chunk_backend="unroll")
     np.testing.assert_allclose(a.trajectory, b.trajectory, atol=1e-5)
     assert ma["C"] == mb["C"]
 
