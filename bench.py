@@ -458,7 +458,7 @@ def preflight():
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=120, cwd=REPO,
+            capture_output=True, text=True, timeout=240, cwd=REPO,
         )
         return proc.returncode == 0 and "64.0" in proc.stdout
     except subprocess.TimeoutExpired:

@@ -169,19 +169,32 @@ class RaytracedDataset:
         tex_seeds = rng.uniform(0.3, 3.0, (6 + n_spheres, 18)).astype(
             np.float32)
 
-        # smooth random-walk trajectory (world-to-camera), same dynamics as
-        # io/synthetic.py so motion_scale means the same thing in both
-        poses = [np.eye(4, dtype=np.float32)]
+        # Mean-reverting smooth walk on the camera CENTER + attitude
+        # (handheld room-scanning motion). The unbounded momentum walk of
+        # io/synthetic.py wanders ~5 m from the origin over 160 frames —
+        # outside this 3 m room — so springs pull position back toward the
+        # room center and attitude back toward the front wall. At
+        # motion_scale=0.016 this gives a ~4.5 cm/frame median step with
+        # the camera staying within ~0.8 m of the origin.
+        kp, kr = 0.012, 0.03
+        pos = np.zeros(3, np.float32)
+        att = np.zeros(3, np.float32)
         vel = np.zeros(3, np.float32)
-        rot_vel = np.zeros(3, np.float32)
-        for _ in range(seq_len - 1):
-            vel = 0.9 * vel + rng.normal(scale=motion_scale, size=3) * [1, 1, 0.5]
-            rot_vel = 0.9 * rot_vel + rng.normal(scale=motion_scale * 0.3, size=3)
-            delta = np.eye(4, dtype=np.float32)
-            delta[:3, :3] = np.asarray(so3_exp(jnp.asarray(rot_vel, jnp.float32)))
-            delta[:3, 3] = vel
-            poses.append((delta @ poses[-1]).astype(np.float32))
-        self.poses = np.stack(poses)  # world-to-camera
+        att_vel = np.zeros(3, np.float32)
+        poses = []
+        for _ in range(seq_len):
+            R_c2w = np.asarray(so3_exp(jnp.asarray(att, jnp.float32)))
+            w2c = np.eye(4, dtype=np.float32)
+            w2c[:3, :3] = R_c2w.T
+            w2c[:3, 3] = -R_c2w.T @ pos
+            poses.append(w2c)
+            vel = (0.9 * vel - kp * pos
+                   + rng.normal(scale=motion_scale, size=3) * [1, 1, 0.5])
+            pos = pos + vel
+            att_vel = (0.9 * att_vel - kr * att
+                       + rng.normal(scale=motion_scale * 0.3, size=3))
+            att = att + att_vel
+        self.poses = np.stack(poses).astype(np.float32)  # world-to-camera
 
         imgs, deps = [], []
         for w2c in self.poses:

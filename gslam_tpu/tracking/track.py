@@ -37,15 +37,17 @@ class TrackingConfig:
     photometric_loss: str = "active-nerf"  # 'l1' | 'mse' | 'active-nerf'
     pose_lr: float = 0.002
     warmup_steps: int = 10
-    # L-BFGS budget. The reference tracks with up to 200 closure
-    # evaluations per frame (frontend.py:47,613-619); 20/25 under-fits
-    # once inter-frame motion reaches a few cm at 2-3 m scene depth (the
-    # tracker returns ~identity deltas and the constant-motion prior then
-    # compounds the drift — observed on the 5 cm/frame flagship scene).
-    # The in-jit loop exits early on convergence, so the cap only costs
-    # on hard frames.
-    lbfgs_max_iter: int = 60
-    lbfgs_max_eval: int = 75
+    # L-BFGS budget at reference parity: up to 200 closure evaluations per
+    # frame (frontend.py:47,613-619). The r4 isolating study
+    # (scripts/study_tracking.py, docs/TRACKING_STUDY.md) showed the old
+    # 75-eval cap was the root cause of the r3 flagship divergence: with a
+    # PERFECT map and gt motion prior at ~8 cm/frame, 75 evals saturates
+    # and leaves 3-6 cm/frame error, while 200 evals converges to
+    # 0.3-0.8 cm (bin_radius_margin 1.5 vs 3.0 changed nothing). The
+    # in-jit loop exits early on convergence, so the cap only costs on
+    # hard frames.
+    lbfgs_max_iter: int = 160
+    lbfgs_max_eval: int = 200
     lbfgs_history: int = 5
     # Divergence guard: reject the refined pose (fall back to the motion
     # prior) when the optimizer returns a non-finite result or a per-frame

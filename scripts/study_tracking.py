@@ -48,8 +48,8 @@ def main():
     ap.add_argument("--height", type=int, default=120)
     ap.add_argument("--n-splats", type=int, default=4000)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--evals", type=int, default=75)
-    ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--evals", type=int, default=200)
+    ap.add_argument("--iters", type=int, default=160)
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--margin", type=float, default=1.5)
     ap.add_argument("--prior", choices=["gt", "est", "identity"],

@@ -371,3 +371,25 @@ def test_serve_viewer_with_stub_server(rng):
     for target in ("rgb", "depth", "n_touched"):
         im = render_viewer_target(gmap, target, w2c, K, 64, 48, cfg)
         assert im.shape == (48, 64, 3) and im.dtype == np.uint8
+
+
+def test_tracking_guard_rejects_nonfinite(rng):
+    """track_frame with a non-finite image must return the prior pose with
+    rejected=True instead of a NaN pose (tracking/track.py guard)."""
+    from tests.scene_utils import make_scene
+    from gslam_tpu.mapping.gaussians import GaussianMap
+    from gslam_tpu.ops.rasterize import RenderConfig
+    from gslam_tpu.tracking.track import TrackingConfig, track_frame
+
+    params, viewmat, Ks, width, height = make_scene(rng, n=200)
+    gmap = GaussianMap(ages=jnp.zeros(200, jnp.int32), **params)
+    tcfg = TrackingConfig(
+        warmup_steps=3, lbfgs_max_iter=6, lbfgs_max_eval=8,
+        render=RenderConfig(tile_capacity=64, tile_chunk=8,
+                            pairs_per_gaussian=8))
+    bad = jnp.full((height, width, 3), jnp.nan)
+    res = track_frame(gmap, viewmat[0], jnp.zeros(2), bad, Ks[0],
+                      width, height, tcfg)
+    assert bool(res.rejected)
+    np.testing.assert_allclose(np.asarray(res.pose), np.asarray(viewmat[0]))
+    assert np.isfinite(float(res.loss))

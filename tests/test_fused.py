@@ -307,3 +307,37 @@ def test_fused_checkpoint_resume_matches_uninterrupted(tmp_path):
         np.asarray(second.final_state.gmap.means),
         np.asarray(ref.final_state.gmap.means), atol=1e-4)
     assert abs(m2["ate"] - m_ref["ate"]) < 1e-4, (m2["ate"], m_ref["ate"])
+
+
+def test_fused_nan_frame_survives_with_fallback():
+    """A NaN-poisoned frame must not poison the run: the tracking guard
+    rejects the non-finite refinement, falls back to the motion prior,
+    increments the health counter, and every later pose stays finite
+    (VERDICT r3: the flagship went NaN at frame 24 and ran blind for 136
+    frames with nothing noticing)."""
+    ds = SyntheticDataset(seq_len=8, width=64, height=48, n_splats=400,
+                          seed=4, motion_scale=0.01)
+    ds.images = ds.images.copy()
+    ds.images[3] = np.nan  # sensor glitch: a whole frame of NaNs
+    slam = FusedSlam(small_fused_cfg(max_frames=8), 64, 48, capacity=1024,
+                     kf_capacity=8, seed=0)
+    m = slam.run(ds, chunk=1, sync_every=0)
+    assert np.isfinite(slam.trajectory).all()
+    assert m["health"] >= 1
+    assert m["diverged"] is True  # reported honestly
+    assert m["nonfinite_poses"] == 0
+
+
+def test_fused_host_abort_on_unhealthy():
+    """The backlog-sync readback must abort a doomed run within
+    sync_every frames once the health counter crosses the threshold."""
+    import pytest
+
+    ds = SyntheticDataset(seq_len=8, width=64, height=48, n_splats=400,
+                          seed=4, motion_scale=0.01)
+    ds.images = ds.images.copy()
+    ds.images[2:6] = np.nan
+    cfg = small_fused_cfg(max_frames=8, abort_unhealthy=2)
+    slam = FusedSlam(cfg, 64, 48, capacity=1024, kf_capacity=8, seed=0)
+    with pytest.raises(RuntimeError, match="health counter"):
+        slam.run(ds, chunk=1, sync_every=2)
