@@ -1,0 +1,65 @@
+"""Quality-asserting SLAM at REALISTIC motion on non-splat ground truth.
+
+Round 3's flagship diverged at ~4.7 cm/frame while every quality test ran
+at <=2 cm/frame (VERDICT r3, weak #5). This test closes that gap: the
+fused runtime tracks the raytraced textured room (io/raytrace.py — gt
+imagery independent of the splat renderer, so PSNR/ATE are not an inverse
+crime) at a ~4-5 cm/frame median step, with the tracking budget at
+reference parity (200 closure evals, /root/reference/gslam/frontend.py:
+47,613-619), and must hold the flagship gate's ATE bound.
+"""
+
+import numpy as np
+import pytest
+
+from gslam_tpu.io.raytrace import RaytracedDataset
+from gslam_tpu.mapping.backend_ops import MapConfig
+from gslam_tpu.ops.rasterize import RenderConfig
+from gslam_tpu.tracking.track import TrackingConfig
+from gslam_tpu.runtime.fused import FusedConfig, FusedSlam
+
+RCFG = RenderConfig(tile_capacity=128, tile_chunk=8, pairs_per_gaussian=8)
+
+
+@pytest.fixture(scope="module")
+def realistic_run(tmp_path_factory):
+    # over a short 10-frame window the mean-reverting walk is still
+    # accelerating, so it needs a larger scale than the 160-frame scene to
+    # hit the same per-frame step (measured: median 4.4 cm, max 6.9 cm)
+    ds = RaytracedDataset(seq_len=10, width=80, height=60,
+                          motion_scale=0.03, seed=1)
+    # the scene must actually be at the flagship's operating point
+    ctrs = np.stack([-p[:3, :3].T @ p[:3, 3] for p in ds.poses])
+    step = np.median(np.linalg.norm(np.diff(ctrs, axis=0), axis=1))
+    assert step > 0.03, f"scene too easy: median step {step:.3f} m"
+
+    cfg = FusedConfig(
+        # tracking at the NEW defaults: 200-eval budget (the r4 study's
+        # fix for the r3 divergence), gt-depth term as in the flagship
+        tracking=TrackingConfig(use_gt_depths=True, render=RCFG),
+        mapping=MapConfig(window_size=4, recent_window=4, num_iters_init=60,
+                          num_iters_mapping=6, kf_m=0.04, render=RCFG),
+        max_frames=10, init_n_new=1500, kf_n_new=150, idle_iters=5,
+        use_gt_depths=True,
+    )
+    slam = FusedSlam(cfg, 80, 60, capacity=4096, kf_capacity=8, seed=0)
+    m = slam.run(ds, chunk=1, eval_stride=3)
+    return ds, m, step
+
+
+def test_realistic_motion_tracks(realistic_run):
+    _, m, step = realistic_run
+    assert m["L"] == 10
+    assert np.isfinite(m["ate"]), m
+    assert m["nonfinite_poses"] == 0, m
+    assert m["diverged"] is False, m
+    # flagship gate bound (scripts/launch_flagship_r4.sh): at 75 evals this
+    # scene drifts ~3 cm/frame (docs/TRACKING_STUDY.md) and blows past it
+    assert m["ate"] < 0.05, (m, f"median step {step:.3f} m")
+
+
+def test_realistic_motion_reconstructs(realistic_run):
+    _, m, _ = realistic_run
+    # raytraced (non-splat) gt: the splat map can only approximate it, so
+    # the band sits below the splat-rendered scenes' 24+
+    assert m["psnr"] > 20.0, m
