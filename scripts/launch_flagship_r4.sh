@@ -29,9 +29,19 @@ GATE_DATASET=${GATE_DATASET:-runs/r4_scene/dataset_160.npz}
 RUN=${RUN:-r4_flagship}
 GATE_RUN=${GATE_RUN:-r4_gate_cpu}
 GATE_FRAMES=${GATE_FRAMES:-24}
+# Recipe notes (docs/TRACKING_STUDY.md "r4 gate failure"):
+#  * plateau_min_loss=0.0 — the reference-parity 0.012 pause freezes
+#    mapping right after bootstrap on this scene (E0/E1, runs/r4_e*).
+#  * kf_m=0.015 — the scene is translation-dominant (cos_z > 0.997 for
+#    15+ frames) so the kf_cos trigger never fires; at kf_m=0.04 the
+#    translation trigger fires every ~8 frames, the map is constrained
+#    by only 2 viewpoints, and tracking basin-jumps at f16 (E0 == E1,
+#    ate 0.153 both). 0.015*median_depth ~ 4.5 cm -> a keyframe every
+#    ~2 frames, matching the per-frame motion.
 RECIPE=${RECIPE:---use-gt-depths --capacity 32768 --kf-capacity 32 --fused \
   --chunk 1 --sync-every 4 --init-ipd 40 --eval-stride 4 \
-  --checkpoint-every 40 --set mapping.kf_m=0.04}
+  --checkpoint-every 40 --set mapping.kf_m=0.015 \
+  --set mapping.plateau_min_loss=0.0}
 
 check_metrics() {  # $1 = metrics.json, $2 = trajectory.npy (optional)
   python - "$1" "${2:-}" <<'EOF'
