@@ -454,14 +454,26 @@ def preflight():
     Probe once up front so a dead chip yields a fast, self-describing
     result instead of 30 minutes of silent timeouts."""
     code = ("import jax, jax.numpy as jnp; "
+            "print(jax.devices()); "
             "print(float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()))")
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code],
             capture_output=True, text=True, timeout=240, cwd=REPO,
         )
-        return proc.returncode == 0 and "64.0" in proc.stdout
+        ok = proc.returncode == 0 and "64.0" in proc.stdout
+        if not ok:
+            # Keep the probe's own words: rc, last stderr lines. Without
+            # this, a mis-configured client (bad env, import error) is
+            # indistinguishable from a wedged worker in the retry log.
+            tail = "\n".join((proc.stderr or "").strip().splitlines()[-4:])
+            print(f"bench: probe rc={proc.returncode} stdout="
+                  f"{proc.stdout.strip()[:120]!r} stderr_tail={tail[:400]!r}",
+                  file=sys.stderr, flush=True)
+        return ok
     except subprocess.TimeoutExpired:
+        print("bench: probe timed out after 240s (worker wedged or "
+              "platform init hang)", file=sys.stderr, flush=True)
         return False
 
 
