@@ -477,7 +477,7 @@ def preflight():
         return False
 
 
-def wait_for_device(budget_s: float = 1800.0, poll_s: float = 120.0):
+def wait_for_device(budget_s: float = 3600.0, poll_s: float = 120.0):
     """Poll preflight until the worker answers or the budget runs out.
 
     A wedged worker often recovers within tens of minutes (docs/PERF.md
@@ -485,7 +485,10 @@ def wait_for_device(budget_s: float = 1800.0, poll_s: float = 120.0):
     outage into a committed 'measurement' (that is exactly what
     BENCH_r03.json is — VERDICT r3 weak #3). Waiting bounded-long is the
     honest alternative: either the device comes back and real numbers are
-    recorded, or the output says the device never answered."""
+    recorded, or the output says the device never answered. The budget is
+    60 min because the r4 poller log (/tmp/tpu_status.log) shows outages
+    of 60-90 min between ~20-min healthy windows — a 30-min wait lost the
+    round-3 evidence."""
     t0 = time.time()
     attempt = 0
     while time.time() - t0 < budget_s:
@@ -505,7 +508,7 @@ def run_sections():
     if not ok:
         parts["errors"] = [
             f"preflight: device unreachable after {attempts} probes over "
-            "30 min (worker wedged or platform init hangs) — all sections "
+            "60 min (worker wedged or platform init hangs) — all sections "
             "skipped, NO VALID MEASUREMENT; see docs/PERF.md rule 5"
         ]
         return parts
