@@ -461,7 +461,10 @@ def preflight():
             [sys.executable, "-c", code],
             capture_output=True, text=True, timeout=240, cwd=REPO,
         )
-        ok = proc.returncode == 0 and "64.0" in proc.stdout
+        # ones(8,8) @ ones(8,8) sums to 8*8*8 = 512.0. (A "64.0" check
+        # left over from a pre-matmul probe classified every HEALTHY
+        # probe as failed and burned whole recovery windows — r4 bug.)
+        ok = proc.returncode == 0 and "512.0" in proc.stdout
         if not ok:
             # Keep the probe's own words: rc, last stderr lines. Without
             # this, a mis-configured client (bad env, import error) is

@@ -81,11 +81,28 @@ def edge_aware_depth_tv(
 
 
 def masked_depth_l1(
-    rendered_depth: jax.Array, gt_depth: jax.Array, cam_mask: jax.Array | None = None
+    rendered_depth: jax.Array,
+    gt_depth: jax.Array,
+    cam_mask: jax.Array | None = None,
+    alpha: jax.Array | None = None,
+    alpha_min: float = 0.0,
 ) -> jax.Array:
+    """Mean |rendered - gt| depth over valid pixels.
+
+    Valid = sensor depth present (gt > 0, reference frontend.py:134-137),
+    optionally restricted to well-covered pixels (alpha > alpha_min). The
+    alpha mask is stop-gradiented: it selects WHICH pixels constrain the
+    pose, it is not itself an objective (otherwise the optimizer could
+    shrink coverage to shed residuals). Unmapped pixels render depth ~0,
+    so without the alpha mask a mostly-unexplored view contributes a
+    large pose-independent residual that drowns the informative pixels —
+    the r4 gate's f16 basin jump survived a 0.01-weighted unmasked term
+    for exactly this reason (docs/TRACKING_STUDY.md)."""
     valid = gt_depth > 0.0
     if cam_mask is not None:
         valid = valid & cam_mask[:, None, None]
+    if alpha is not None and alpha_min > 0.0:
+        valid = valid & (jax.lax.stop_gradient(alpha) > alpha_min)
     err = jnp.where(valid, jnp.abs(rendered_depth - gt_depth), 0.0)
     return jnp.sum(err) / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
 

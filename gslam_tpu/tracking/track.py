@@ -59,7 +59,18 @@ class TrackingConfig:
     max_step: float = 0.5
     learn_exposure: bool = True
     use_gt_depths: bool = False
-    depth_loss_weight: float = 0.01
+    # Depth residual weight. The reference uses 0.01 on an UNMASKED L1
+    # (frontend.py:134-138) — on texture-poor or partially-mapped views
+    # that term is diluted by unmapped pixels (rendered depth ~ 0) and
+    # contributes ~1e-4 against a ~3e-3 photometric loss, so tracking is
+    # effectively RGB-only and can basin-jump with a low loss (the r4
+    # gate failed at f16 with err 7.7 cm, loss 0.004). Default here:
+    # alpha-masked residual at weight 1.0 — the pose is geometrically
+    # locked wherever the (depth-supervised) map is confident, and the
+    # photometric term disambiguates along-ray slides. Set weight 0.01 /
+    # alpha_min 0.0 for reference-parity behavior.
+    depth_loss_weight: float = 1.0
+    depth_alpha_min: float = 0.5
     bin_radius_margin: float = 1.5  # footprint inflation for bin reuse
     fused: bool = True  # per-tile fused projection+blend hot path
     render: RenderConfig = RenderConfig()
@@ -125,7 +136,7 @@ def track_frame_impl(
     def loss_fn(x):
         pose, exposure = unpack(x)
         if cfg.fused:
-            rgb_img, depth_img, beta_img, _alpha = render_tracking_fused(
+            rgb_img, depth_img, beta_img, alpha_img = render_tracking_fused(
                 tiles, pose, K, width, height, cfg.render
             )
         else:
@@ -134,14 +145,16 @@ def track_frame_impl(
                 viewmats=pose[None], Ks=K[None],
                 width=width, height=height, cfg=cfg.render, bins=bins,
             )
-            rgb_img, depth_img, beta_img = out.rgb[0], out.depth[0], out.beta[0]
+            rgb_img, depth_img, beta_img, alpha_img = (
+                out.rgb[0], out.depth[0], out.beta[0], out.alpha[0])
         rgb = apply_exposure(rgb_img, exposure)
         loss = tracking_photometric(
             rgb, gt_img, beta_img, cfg.photometric_loss
         )
         if cfg.use_gt_depths and gt_depth is not None:
             loss = loss + cfg.depth_loss_weight * masked_depth_l1(
-                depth_img[None], gt_depth[None]
+                depth_img[None], gt_depth[None],
+                alpha=alpha_img[None], alpha_min=cfg.depth_alpha_min,
             )
         return loss
 

@@ -110,10 +110,25 @@ touch /tmp/tpu_poll_stop
 [ -f /tmp/bench_watch.pid ] && kill "$(cat /tmp/bench_watch.pid)" 2>/dev/null
 sleep 130  # let an in-flight poller probe (timeout 120) finish first
 
-# ---- chip bench first (VERDICT r3 item 4): cheaper than the flagship,
-# so grab valid perf evidence while the flapping worker is up. Commit it
-# only if it parses and reports a non-zero measurement.
-if timeout 3600 python -u bench.py > /tmp/bench_r4.json 2>/tmp/bench_r4.err; then
+# ---- chip bench (VERDICT r3 item 4). If a valid bench artifact already
+# exists (captured manually in an earlier healthy window), do NOT spend
+# this window on it — the flagship is the round's one job and needs the
+# longest healthy stretch. A full bench (mapping + onemillion sections)
+# runs after the flagship instead.
+bench_valid() {
+  python - <<'EOF'
+import json
+try:
+    m = json.load(open("runs/bench/bench_r4_chip.json"))
+except Exception:
+    raise SystemExit(1)
+v = m.get("value")
+raise SystemExit(0 if isinstance(v, (int, float)) and v > 0 else 1)
+EOF
+}
+if bench_valid; then
+  log "bench evidence already valid (runs/bench/bench_r4_chip.json); skipping pre-flagship bench"
+elif timeout 3600 python -u bench.py > /tmp/bench_r4.json 2>/tmp/bench_r4.err; then
   if python - <<'EOF'
 import json
 m = json.load(open("/tmp/bench_r4.json"))
@@ -169,6 +184,29 @@ if check_metrics "runs/$RUN/metrics.json" "runs/$RUN/trajectory.npy" \
     && log "flagship artifact committed"
 else
   log "COMMIT REFUSED: chip flagship failed the quality thresholds"
+fi
+
+# ---- post-flagship full bench: the pre-flagship artifact may cover only
+# the tracking section (mapping/onemillion timed out under CPU contention
+# with the gate run). With the CPU idle and the chip warm, try once for
+# the full set; keep it only if valid.
+if timeout 3600 python -u bench.py > /tmp/bench_r4_full.json 2>/tmp/bench_r4_full.err; then
+  if python - <<'EOF'
+import json
+m = json.load(open("/tmp/bench_r4_full.json"))
+ok = isinstance(m.get("value"), (int, float)) and m["value"] > 0
+raise SystemExit(0 if ok else 1)
+EOF
+  then
+    cp /tmp/bench_r4_full.json runs/bench/bench_r4_chip_full.json
+    git add runs/bench/bench_r4_chip_full.json
+    git commit -q -m "Post-flagship full chip bench (all sections, idle host)" \
+      && log "full bench evidence committed"
+  else
+    log "post-flagship bench invalid; keeping earlier artifact"
+  fi
+else
+  log "post-flagship bench failed/timed out; keeping earlier artifact"
 fi
 
 # hand the chip back to the health poller
