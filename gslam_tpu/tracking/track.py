@@ -152,8 +152,16 @@ def track_frame_impl(
             rgb, gt_img, beta_img, cfg.photometric_loss
         )
         if cfg.use_gt_depths and gt_depth is not None:
+            # Expected (alpha-normalized) depth: the renderer accumulates
+            # sum(T_i a_i d_i), which underestimates true depth by the
+            # coverage factor alpha. On a young map (alpha ~ 0.5-0.8) the
+            # unnormalized residual is a large bias at the CORRECT pose
+            # and drags tracking (test_realistic_motion regressed to ate
+            # 0.066 before this normalization). Differentiable through
+            # both depth and alpha.
+            d_hat = depth_img / jnp.maximum(alpha_img, 1e-3)
             loss = loss + cfg.depth_loss_weight * masked_depth_l1(
-                depth_img[None], gt_depth[None],
+                d_hat[None], gt_depth[None],
                 alpha=alpha_img[None], alpha_min=cfg.depth_alpha_min,
             )
         return loss
