@@ -47,6 +47,7 @@ class SyntheticDataset:
         seed: int = 0,
         motion_scale: float = 0.02,
         with_depth: bool = True,
+        rotation_only: bool = False,
     ):
         rng = np.random.default_rng(seed)
         fx = fy = 0.9 * width
@@ -78,8 +79,22 @@ class SyntheticDataset:
         vel = np.zeros(3, np.float32)
         rot_vel = np.zeros(3, np.float32)
         for _ in range(seq_len - 1):
-            vel = 0.9 * vel + rng.normal(scale=motion_scale, size=3) * [1, 1, 0.5]
-            rot_vel = 0.9 * rot_vel + rng.normal(scale=motion_scale * 0.3, size=3)
+            if rotation_only:
+                # steady pan-in-place: exercises the view-angle (kf_cos)
+                # keyframe trigger in isolation — zero translation means
+                # neither the kf_m nor the kf_adapt trigger can fire, and
+                # a DETERMINISTIC yaw rate (motion_scale rad/frame) makes
+                # the accumulated view angle cross any threshold at a
+                # predictable frame (a random walk mean-reverts and can
+                # stay under the trigger for a whole short sequence)
+                vel = np.zeros(3, np.float32)
+                rot_vel = np.asarray(
+                    [0.0, motion_scale, 0.0], np.float32)
+            else:
+                vel = 0.9 * vel + rng.normal(
+                    scale=motion_scale, size=3) * [1, 1, 0.5]
+                rot_vel = 0.9 * rot_vel + rng.normal(
+                    scale=motion_scale * 0.3, size=3)
             delta = np.eye(4, dtype=np.float32)
             delta[:3, :3] = np.asarray(so3_exp(jnp.asarray(rot_vel, jnp.float32)))
             delta[:3, 3] = vel

@@ -69,10 +69,26 @@ class MapConfig:
     kf_oc: float = 0.99
     kf_m: float = 0.15
     kf_cos: float = math.cos(math.pi / 30)
+    # Motion-adaptive keyframe trigger: also take a keyframe once the
+    # camera has moved kf_adapt times its own EMA per-frame step since
+    # the last keyframe (0 disables). The fixed kf_m * median_depth rule
+    # is a per-scene constant (45 cm at reference defaults) that starves
+    # mapping on translation-dominant scenes — docs/TRACKING_STUDY.md
+    # "keyframe density is the third root cause"; r4's gate only passed
+    # via a hand-tuned --set mapping.kf_m=0.015. kf_adapt=2.5 reproduces
+    # that proven density (a keyframe every ~2-3 frames of motion) on ANY
+    # scene speed without per-scene tuning.
+    kf_adapt: float = 2.5
     use_gt_depths: bool = False
     depth_loss_weight: float = 0.1
     plateau_patience: int = 3
-    plateau_min_loss: float = 0.012
+    # 0.0 = plateau pause disabled (mapping never stops early). The
+    # reference-parity 0.012 freezes the map right after bootstrap on
+    # scenes whose converged loss sits below it, compounding pose error
+    # (TRACKING_STUDY.md "r4 gate failure: the plateau pause freezes the
+    # map"); E1 proved unfreezing buys +1.5 dB at equal ATE. Opt back in
+    # with --set mapping.plateau_min_loss=0.012 for battery-bound runs.
+    plateau_min_loss: float = 0.0
     densify_every: int = 200
     densify_max_new: int = 4096
     grow_grad2d: float = 0.0002

@@ -144,7 +144,11 @@ class ShardedSlam:
 
         self.key = jax.random.PRNGKey(seed)
         self.health = 0
+        self.step_ema = 0.0  # EMA per-frame translation (kf_adapt trigger)
+        self._kf_anchor = np.eye(4, dtype=np.float32)  # tracked pose at
+        # the last keyframe event (kf_adapt gauge anchor)
         self.trajectory: list[np.ndarray] = []
+        self.exposure_traj: list[np.ndarray] = []
         self._exposure = jnp.zeros((2,))
         self._build_programs()
 
@@ -190,13 +194,22 @@ class ShardedSlam:
 
             def loss_fn(x):
                 pose, exp = unpack(x)
-                rgb, _alpha, depth, beta = layers(tiles, pose, K)
+                rgb, alpha, depth, beta = layers(tiles, pose, K)
                 rgb = apply_exposure(rgb, exp)
                 loss = tracking_photometric(
                     rgb, img, beta, tcfg.photometric_loss)
                 if use_depth:
+                    # mirror track_frame_impl's alpha-normalized depth
+                    # lock (tracking/track.py): compare EXPECTED depth
+                    # depth/alpha on confidently-covered pixels only —
+                    # the raw composite underestimates depth by the
+                    # coverage factor on young maps, and unmapped pixels
+                    # otherwise contribute a pose-independent bias
+                    # (docs/TRACKING_STUDY.md, ADVICE r4).
+                    d_hat = depth / jnp.maximum(alpha, 1e-3)
                     loss = loss + tcfg.depth_loss_weight * masked_depth_l1(
-                        depth[None], gt_depth[None])
+                        d_hat[None], gt_depth[None],
+                        alpha=alpha[None], alpha_min=tcfg.depth_alpha_min)
                 return loss
 
             x0 = jnp.concatenate([jnp.zeros(9), exposure])
@@ -375,6 +388,7 @@ class ShardedSlam:
             slots, mask = self._window()
             self._run_mapping(slots, mask, mcfg.num_iters_init, K)
             self.trajectory.append(np.eye(4, dtype=np.float32))
+            self.exposure_traj.append(np.asarray(self._exposure))
             return
 
         # constant-motion prior + banded tracking
@@ -390,15 +404,33 @@ class ShardedSlam:
             raise RuntimeError(
                 f"health counter {self.health} >= {cfg.abort_unhealthy}: "
                 f"tracking guard rejected too many frames")
+        prev_pose_np = np.asarray(t[-1])  # before append: last frame's pose
         self.trajectory.append(np.asarray(pose))
+        self.exposure_traj.append(np.asarray(exp))
+        rel = np.asarray(pose) @ np.linalg.inv(prev_pose_np)
+        step = float(np.linalg.norm(rel[:3, 3]))
+        self.step_ema = (step if self.step_ema == 0.0
+                         else 0.9 * self.step_ema + 0.1 * step)
 
         prev_kf_pose = self.kf_poses[self.kf_frames_slot(self.kf_count - 1)]
         tr, med, cos_z, est_depth, est_alpha = self._kd_stats(
             self.gmap, pose, prev_kf_pose, K)
+        # motion-adaptive trigger, same rule as the fused runtime (see
+        # MapConfig.kf_adapt) — measured in the TRACKED-trajectory gauge
+        # (pose at the last keyframe EVENT), not against the mapping-
+        # optimized keyframe pose, whose gauge drift fires every frame
+        rel_a = np.asarray(pose) @ np.linalg.inv(self._kf_anchor)
+        anchor_tr = float(np.linalg.norm(rel_a[:3, 3]))
+        adaptive = (
+            mcfg.kf_adapt > 0.0
+            and self.step_ema > 1e-3 * float(med)
+            and anchor_tr > mcfg.kf_adapt * self.step_ema
+        )
         take = (float(tr) > mcfg.kf_m * float(med)) or (
-            float(cos_z) < mcfg.kf_cos)
+            float(cos_z) < mcfg.kf_cos) or adaptive
 
         if take:
+            self._kf_anchor = np.asarray(pose)
             self.key, k_b = jax.random.split(self.key)
             slots_all = jnp.arange(self.kf_capacity)
             filt_mask = jnp.asarray(self.kf_mask) & (self.kf_count > 1)
@@ -463,8 +495,11 @@ class ShardedSlam:
         if nonfinite == 0:
             gt_c = np.stack([-m[:3, :3].T @ m[:3, 3] for m in gt])
             est_c = np.stack([-m[:3, :3].T @ m[:3, 3] for m in est])
-            metrics["ate"] = ate_rmse(gt_c, est_c)
-            metrics["ate_mean"] = ate_mean(gt_c, est_c)
+            # same convention as FusedSlam/SlamSystem: 'ate' is the
+            # reference statistic (mean), 'ate_rmse' the RMSE — gates
+            # keyed on 'ate' must mean the same thing in every runtime
+            metrics["ate"] = ate_mean(gt_c, est_c)
+            metrics["ate_rmse"] = ate_rmse(gt_c, est_c)
         else:
             metrics["ate"] = float("inf")
         if eval_stride:
@@ -473,7 +508,11 @@ class ShardedSlam:
                 w2c = jnp.asarray(est[i])
                 rgb, alpha, _d, _b = self._render(
                     self.gmap, w2c[None], K[None])
-                rgb = apply_exposure(rgb[0], self._exposure)
+                # per-frame exposure, as the fused runtime's exposure_traj:
+                # scoring an early frame with the final exposure mis-rates
+                # it whenever exposure drifted over the sequence
+                rgb = apply_exposure(rgb[0], jnp.asarray(
+                    self.exposure_traj[i]))
                 gt_img = jnp.asarray(frames[i].image)
                 mse = float(jnp.mean((rgb - gt_img) ** 2))
                 psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))

@@ -108,6 +108,15 @@ class BackendActor:
         self.frames: list[Frame] = []
         self.total_step = 0
         self.pause_map_optim = False
+        # EMA of per-frame camera translation for the motion-adaptive
+        # keyframe trigger (MapConfig.kf_adapt; same rule as the fused
+        # runtime's FusedState.step_ema)
+        self.step_ema = 0.0
+        self._last_pose: np.ndarray | None = None
+        # tracked pose at the last keyframe EVENT (tracking gauge; see
+        # maybe_add_keyframe — the adaptive trigger must not compare
+        # across the mapping-optimized keyframe gauge)
+        self._kf_anchor: np.ndarray | None = None
         self.K = None  # shared intrinsics, set on first frame
         self.insertion_cfg = InsertionConfig(
             depth_variance=0.1 * cfg.initial_scale,
@@ -352,9 +361,31 @@ class BackendActor:
         translation = float(stats.translation)
         med = float(stats.median_depth)
         cos_z = float(stats.cos_z)
-        take = translation > self.cfg.kf_m * med or cos_z < self.cfg.kf_cos
+        # motion-adaptive trigger (see MapConfig.kf_adapt): keyframe once
+        # the camera moved kf_adapt frames' worth of its own recent motion.
+        # Measured against the TRACKED pose at the last keyframe EVENT
+        # (self._kf_anchor), not the keyframe's map-optimized pose:
+        # mapping's pose refinement drifts the keyframe gauge away from
+        # the tracking gauge, and that cross-gauge distance grows with
+        # trajectory length — using it made the trigger fire every frame
+        # on slow scenes (measured: 'tr' 2->26 mm monotone at a 3 mm/frame
+        # walk while keyframes fired each frame; psnr dropped 2.9 dB from
+        # the per-frame insertions).
+        moving = self.step_ema > 1e-3 * med
+        if self._kf_anchor is not None:
+            rel_a = np.asarray(pose) @ np.linalg.inv(self._kf_anchor)
+            anchor_tr = float(np.linalg.norm(rel_a[:3, 3]))
+        else:
+            anchor_tr = translation
+        adaptive = (
+            self.cfg.kf_adapt > 0.0 and moving
+            and anchor_tr > self.cfg.kf_adapt * self.step_ema
+        )
+        take = (translation > self.cfg.kf_m * med
+                or cos_z < self.cfg.kf_cos or adaptive)
         if not take:
             return False
+        self._kf_anchor = np.asarray(pose)
 
         # densify from the rendered depth of this view
         self.key, k_ins = jax.random.split(self.key)
@@ -461,12 +492,23 @@ class BackendActor:
 
     def handle_request_init(self, frame: Frame, pose, exposure):
         self.pause_map_optim = False
+        self._last_pose = np.asarray(pose)
+        self._kf_anchor = np.asarray(pose)
         self.initialize(frame, pose, exposure)
         self.optimize_map(self.cfg.num_iters_init, prune=False, regularize=True)
 
     def handle_add_frame(self, frame: Frame, pose, exposure) -> bool:
         """Returns True if a keyframe was added."""
         self.frames.append(frame.strip())
+        pose_np = np.asarray(pose)
+        if self._last_pose is not None:
+            rel = pose_np @ np.linalg.inv(self._last_pose)
+            step = float(np.linalg.norm(rel[:3, 3]))
+            self.step_ema = (
+                step if self.step_ema == 0.0
+                else 0.9 * self.step_ema + 0.1 * step
+            )
+        self._last_pose = pose_np
         if not self.kf_order:
             logger.warning("ADD_FRAME before initialization")
             self.initialize(frame, pose, exposure)

@@ -232,8 +232,16 @@ def save_fused_checkpoint(path, state, frames_meta):
     fused-runtime counterpart of `save_checkpoint` above."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    leaves, _ = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i:04d}": np.asarray(v) for i, v in enumerate(leaves)}
+    # leaves are keyed by their pytree PATH (e.g. "leaf/.gmap.means"), not
+    # position: adding a FusedState field must turn a stale checkpoint
+    # into a "field missing" message naming the field, not a positional
+    # shape mismatch blamed on the wrong leaf (ADVICE r4)
+    path_leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    arrays = {
+        "leaf/" + jax.tree_util.keystr(kp): np.asarray(v)
+        for kp, v in path_leaves
+    }
+    arrays["meta/format"] = np.asarray(2, np.int64)
     n = len(frames_meta)
     arrays["meta/indices"] = np.asarray(
         [m[0] for m in frames_meta], np.int64)
@@ -266,20 +274,33 @@ def load_fused_checkpoint(path, cfg, seed: int = 0):
             f"checkpoint was taken with max_frames={max_frames} but the "
             f"config says {cfg.max_frames}; trajectory buffers would not "
             "line up — pass --max-frames to match")
+    if "meta/format" not in data:
+        raise ValueError(
+            "checkpoint predates the r5 state-format change (leaves were "
+            "keyed by position, which silently misloads across FusedState "
+            "field additions) — re-create it with this version")
+    fmt = int(data["meta/format"])
+    if fmt != 2:
+        raise ValueError(f"unknown fused checkpoint format {fmt}")
     template = init_fused_state(cfg, cap, kf_cap, height, width, seed)
-    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    path_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
+    treedef = jax.tree_util.tree_structure(template)
+    saved = {k for k in data.files if k.startswith("leaf/")}
+    want = {"leaf/" + jax.tree_util.keystr(kp) for kp, _ in path_leaves}
+    if saved != want:
+        missing = sorted(want - saved)
+        extra = sorted(saved - want)
+        raise ValueError(
+            "checkpoint/state field mismatch — saved with a different "
+            f"config or code version (missing: {missing[:5]}, "
+            f"unexpected: {extra[:5]})")
     leaves = []
-    for i, tmpl in enumerate(t_leaves):
-        key = f"leaf_{i:04d}"
-        if key not in data:
-            raise ValueError(
-                f"checkpoint has {sum(1 for k in data if k.startswith('leaf_'))}"
-                f" leaves but the config's state template has {len(t_leaves)}"
-                " — was it saved with a different PGO/config setting?")
+    for kp, tmpl in path_leaves:
+        key = "leaf/" + jax.tree_util.keystr(kp)
         v = data[key]
         if tuple(v.shape) != tuple(np.shape(tmpl)):
             raise ValueError(
-                f"leaf {i}: checkpoint shape {v.shape} != template "
+                f"{key}: checkpoint shape {v.shape} != template "
                 f"{np.shape(tmpl)} — config mismatch")
         leaves.append(jnp.asarray(v, dtype=tmpl.dtype))
     state = jax.tree_util.tree_unflatten(treedef, leaves)

@@ -72,7 +72,9 @@ from gslam_tpu.mapping.insertion import (
 from gslam_tpu.mapping.keyframes import KeyframeStore, add_keyframe, empty_keyframes
 from gslam_tpu.mapping.optimizer import MaskedAdamState, init_adam
 from gslam_tpu.mapping import pruning
-from gslam_tpu.tracking.track import TrackingConfig, track_frame_impl
+from gslam_tpu.tracking.track import (
+    TrackingConfig, track_frame_pyramid_impl,
+)
 
 # Undecorated bodies: jitted wrappers must not nest (see docs/PERF.md).
 _insert_impl = insert_from_depthmap.__wrapped__
@@ -155,6 +157,12 @@ class FusedState(NamedTuple):
     live_count: jax.Array  # [] int32 live splats (drives host-side growth)
     health: jax.Array  # [] int32 rejected tracks + non-finite mapping
     # losses so far; read at backlog syncs so the host can abort early
+    step_ema: jax.Array  # [] f32 EMA of per-frame camera translation —
+    # drives the motion-adaptive keyframe trigger (kf_adapt)
+    kf_anchor: jax.Array  # [4, 4] TRACKED pose at the last keyframe event
+    # (tracking gauge — the adaptive trigger must not measure across the
+    # mapping-optimized keyframe gauge, whose drift vs the tracked
+    # trajectory grows without bound and fires the trigger every frame)
     n_evals_traj: jax.Array  # [F] int32 tracking evals per frame
     kd_translation: jax.Array  # [F] keyframe-decision translation
     kd_median_depth: jax.Array  # [F] keyframe-decision median depth
@@ -193,6 +201,8 @@ def init_fused_state(
         dropped_total=jnp.int32(0),
         live_count=jnp.int32(0),
         health=jnp.int32(0),
+        step_ema=jnp.float32(0.0),
+        kf_anchor=jnp.eye(4, dtype=jnp.float32),
         n_evals_traj=jnp.zeros((F,), jnp.int32),
         kd_translation=jnp.zeros((F,), jnp.float32),
         kd_median_depth=jnp.zeros((F,), jnp.float32),
@@ -240,7 +250,7 @@ def slam_step_impl(
     prior = jnp.where(i >= 2, constant_motion_prior(pa, pb), pb)
 
     def do_track():
-        res = track_frame_impl(
+        res = track_frame_pyramid_impl(
             state.gmap, prior, state.exposure, image, K, width, height,
             cfg.tracking,
             gt_depth=gt_depth if cfg.use_gt_depths else None,
@@ -260,11 +270,37 @@ def slam_step_impl(
     prev_kf_pose = state.kf.poses()[last_slot]
     stats = _kd_stats_impl(state.gmap, pose, prev_kf_pose, K, width, height,
                            mcfg)
+    # Motion-adaptive trigger (VERDICT r4 weak #7/#8 + TRACKING_STUDY
+    # "keyframe density is the third root cause"): a fixed kf_m *
+    # median_depth threshold is a per-scene constant — 45 cm at the
+    # reference default, which starves mapping on translation-dominant
+    # scenes where tracking leaves the mapped frustum in a few frames.
+    # Scale the trigger to the OBSERVED median per-frame step instead:
+    # take a keyframe once the camera has moved kf_adapt frames' worth of
+    # its own recent motion since the last keyframe. An EMA floor keeps a
+    # parked camera from taking noise-triggered keyframes.
+    frame_step = jnp.linalg.norm(
+        jnp.matmul(pose, invert_se3(state.traj[jnp.maximum(i - 1, 0)]),
+                   precision=HIGH)[:3, 3])
+    step_ema = jnp.where(
+        i <= 0, state.step_ema,
+        jnp.where(i == 1, frame_step,
+                  0.9 * state.step_ema + 0.1 * frame_step))
+    moving = step_ema > 1e-3 * stats.median_depth
+    anchor_tr = jnp.linalg.norm(
+        jnp.matmul(pose, invert_se3(state.kf_anchor),
+                   precision=HIGH)[:3, 3])
+    adaptive = (
+        (mcfg.kf_adapt > 0.0) & moving
+        & (anchor_tr > mcfg.kf_adapt * step_ema)
+    )
     take = (
         (i == 0)
         | (stats.translation > mcfg.kf_m * stats.median_depth)
         | (stats.cos_z < mcfg.kf_cos)
+        | adaptive
     )
+    kf_anchor = jnp.where(take, pose, state.kf_anchor)
 
     # ---- conditional insertion ----
     slot = ring_slot(state.kf_count, kf_cap)
@@ -378,6 +414,8 @@ def slam_step_impl(
         dropped_total=state.dropped_total + (n_req - n_ins),
         live_count=jnp.sum(gmap.alive).astype(jnp.int32),
         health=health,
+        step_ema=step_ema,
+        kf_anchor=kf_anchor,
         n_evals_traj=state.n_evals_traj.at[i].set(n_evals),
         kd_translation=state.kd_translation.at[i].set(stats.translation),
         kd_median_depth=state.kd_median_depth.at[i].set(stats.median_depth),

@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--n-splats", type=int, default=20000)
     ap.add_argument("--motion", type=float, default=0.018)
     ap.add_argument("--seed", type=int, default=0)
+    # photometric nuisances (raytrace only): the real-sensor robustness
+    # proxy — see gslam_tpu/io/raytrace.py
+    ap.add_argument("--noise-std", type=float, default=0.0)
+    ap.add_argument("--exposure-drift", type=float, default=0.0)
+    ap.add_argument("--blur-px", type=float, default=0.0)
     args = ap.parse_args()
 
     import numpy as np
@@ -41,7 +46,9 @@ def main():
     else:
         from gslam_tpu.io.raytrace import RaytracedDataset
 
-        ds = RaytracedDataset(**kw)
+        ds = RaytracedDataset(noise_std=args.noise_std,
+                              exposure_drift=args.exposure_drift,
+                              blur_px=args.blur_px, **kw)
     save_dataset_npz(ds, args.out)
     t = np.stack([np.asarray(f.gt_pose) for f in iter(ds)])
     ctrs = np.stack([-m[:3, :3].T @ m[:3, 3] for m in t])

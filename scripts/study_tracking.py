@@ -58,6 +58,10 @@ def main():
                     default="synthetic")
     ap.add_argument("--kf-m", type=float, default=0.04)
     ap.add_argument("--tag", type=str, default="")
+    ap.add_argument("--pyramid", type=int, default=1,
+                    help="coarse-to-fine levels (1 = flat tracker)")
+    ap.add_argument("--pyramid-evals", type=str, default="100,70,50",
+                    help="per-level eval budgets, coarse->fine")
     args = ap.parse_args()
 
     import numpy as np
@@ -94,10 +98,15 @@ def main():
         "prior": args.prior, "scene": args.scene, "tag": args.tag,
     }
 
+    pyr_evals = tuple(int(v) for v in args.pyramid_evals.split(","))
     tcfg = TrackingConfig(
         lbfgs_max_eval=args.evals, lbfgs_max_iter=args.iters,
         warmup_steps=args.warmup, bin_radius_margin=args.margin,
+        pyramid_levels=args.pyramid, pyramid_evals=pyr_evals,
     )
+    out["pyramid"] = args.pyramid
+    if args.pyramid > 1:
+        out["pyramid_evals"] = list(pyr_evals)
 
     if args.mode == "oracle":
         if args.scene != "synthetic":
@@ -138,6 +147,7 @@ def main():
                 lbfgs_max_eval=args.evals, lbfgs_max_iter=args.iters,
                 warmup_steps=args.warmup, bin_radius_margin=args.margin,
                 use_gt_depths=use_gt,
+                pyramid_levels=args.pyramid, pyramid_evals=pyr_evals,
             ),
             mapping=MapConfig(kf_m=args.kf_m, use_gt_depths=use_gt),
             max_frames=args.frames, use_gt_depths=use_gt,

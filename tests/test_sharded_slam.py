@@ -186,6 +186,27 @@ def test_sharded_slam_e2e_tracks():
 
 
 @pytest.mark.skipif(_n_devices() < 8, reason="needs 8 virtual devices")
+def test_sharded_slam_e2e_rgbd():
+    """RGB-D sharded loop: the banded tracking loss must apply the same
+    alpha-normalized, alpha-masked depth lock as the single-chip fused
+    path (ADVICE r4 medium: the raw composited depth at weight 1.0 is a
+    pose-independent bias on young maps)."""
+    from gslam_tpu.parallel.sharding import make_mesh
+    from gslam_tpu.parallel.slam import ShardedSlam
+
+    ds = SyntheticDataset(seq_len=6, width=64, height=48, n_splats=400,
+                          seed=3, motion_scale=0.01)
+    mesh = make_mesh(8, axis="gauss")
+    slam = ShardedSlam(_slam_cfg(use_gt_depths=True), mesh, 64, 48,
+                       capacity=1024, kf_capacity=8, seed=0)
+    m = slam.run(ds, eval_stride=2)
+    assert m["L"] == 6 and m["C"] >= 1
+    assert m["health"] == 0 and m["nonfinite_poses"] == 0
+    assert np.isfinite(m["ate"]) and m["ate"] < 0.05, m
+    assert m["psnr"] > 15.0, m
+
+
+@pytest.mark.skipif(_n_devices() < 8, reason="needs 8 virtual devices")
 def test_sharded_slam_mesh_size_invariance():
     """The SAME ShardedSlam program on a 1-band and an 8-band mesh solves
     the same problem. Bitwise trajectory equality is unachievable — the

@@ -57,11 +57,16 @@ def test_slam_trajectory_quality(slam_run):
 
 def test_slam_reconstruction_quality(slam_run):
     _, _, metrics, _ = slam_run
-    # measured on this scene: psnr 24.93, ssim 0.936 (CPU); bands sit just
-    # under the measured values to catch regressions without flaking on
-    # float-reassociation jitter (round-2 bands were 15.0 / 0.35)
-    assert metrics["psnr"] > 24.0, metrics
-    assert metrics["ssim"] > 0.90, metrics
+    # measured on this scene: psnr 23.90, ssim 0.917, ate 0.021 (CPU) with
+    # the kf_adapt default taking C=3 keyframes — mapping's pose
+    # refinement over >1 keyframe costs ~1 dB vs the old C=1 run (24.93)
+    # because the optimized map gauge no longer coincides with the tracked
+    # eval poses, but ATE improves (0.026 -> 0.021) and gate scenes NEED
+    # the keyframe density (TRACKING_STUDY). Bands sit just under the
+    # measured values to catch regressions without flaking on
+    # float-reassociation jitter.
+    assert metrics["psnr"] > 23.0, metrics
+    assert metrics["ssim"] > 0.89, metrics
 
 
 def test_slam_artifacts_written(slam_run):
@@ -99,3 +104,41 @@ def test_threaded_mode_runs(tmp_path):
     metrics = system.run(ds)
     assert metrics["L"] == 6
     assert np.isfinite(metrics.get("ate", np.inf))
+
+
+def test_actor_nan_frame_survives_with_fallback(tmp_path):
+    """Actor-path twin of test_fused_nan_frame_survives_with_fallback
+    (VERDICT r4 weak #5: FrontendActor dropped TrackResult.rejected on
+    the floor, so the mode the verifier runs was blind to divergence).
+    A NaN sensor frame must be guard-rejected, counted in `health`, and
+    reported as diverged=True while every pose stays finite."""
+    ds = SyntheticDataset(
+        seq_len=8, width=64, height=48, n_splats=400, seed=4,
+        motion_scale=0.01
+    )
+    ds.images = ds.images.copy()
+    ds.images[3] = np.nan
+    cfg = SlamConfig(**SMALL, run_dir=str(tmp_path / "nan"), eval_stride=4)
+    system = SlamSystem(cfg, 64, 48)
+    metrics = system.run(ds)
+    assert metrics["health"] >= 1
+    assert metrics["diverged"] is True
+    assert metrics["nonfinite_poses"] == 0
+    assert np.isfinite(metrics["ate"])
+    assert metrics["mean_track_evals"] > 0
+
+
+def test_actor_host_abort_on_unhealthy(tmp_path):
+    """SlamSystem must abort a doomed run once the actor health counter
+    crosses abort_unhealthy (fused twin: test_fused_host_abort_on_unhealthy)."""
+    ds = SyntheticDataset(
+        seq_len=8, width=64, height=48, n_splats=400, seed=4,
+        motion_scale=0.01
+    )
+    ds.images = ds.images.copy()
+    ds.images[2:6] = np.nan
+    cfg = SlamConfig(**SMALL, run_dir=str(tmp_path / "abort"),
+                     abort_unhealthy=2)
+    system = SlamSystem(cfg, 64, 48)
+    with pytest.raises(RuntimeError, match="health counter"):
+        system.run(ds)
