@@ -116,12 +116,18 @@ def dp_mapping_train_step(
 
 
 def partition_by_depth(gmap: GaussianMap, viewmat: jax.Array,
-                       opt_state: MaskedAdamState | None = None):
+                       opt_state: MaskedAdamState | None = None,
+                       vis: jax.Array | None = None):
     """Permute the splat buffer into ascending camera-depth order for the
     given reference view (dead splats sort last). A mesh-sharded buffer in
     this order is partitioned into contiguous depth bands — the invariant
     `gauss_render`'s band compositing relies on. Pure permutation: calling
-    it never changes render results on a single device."""
+    it never changes render results on a single device.
+
+    `vis` ([..., capacity], e.g. the per-keyframe visibility snapshots the
+    pose graph keeps) rides the same permutation along its LAST axis —
+    splat-indexed side tables must stay aligned with the buffer or later
+    loop-closure IoUs compare stale slot assignments."""
     p = jnp.matmul(gmap.means, viewmat[:3, :3].T,
                    precision=jax.lax.Precision.HIGHEST) + viewmat[:3, 3]
     key = jnp.where(gmap.alive, p[:, 2], jnp.inf)
@@ -134,7 +140,9 @@ def partition_by_depth(gmap: GaussianMap, viewmat: jax.Array,
         nu={k: v[order] for k, v in opt_state.nu.items()},
         count=opt_state.count,
     )
-    return g2, o2
+    if vis is None:
+        return g2, o2
+    return g2, o2, vis[..., order]
 
 
 def _band_render(g: GaussianMap, viewmats, Ks, width, height, cfg,

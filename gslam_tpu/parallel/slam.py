@@ -142,6 +142,21 @@ class ShardedSlam:
         self.kf_count = 0
         self.kf_frames: list[int] = []
 
+        # pose graph (enable_pgo): per-keyframe splat-visibility snapshots,
+        # splat-sharded along 'gauss' like the buffer they index into, and
+        # a host-side covisibility adjacency (kf_cap^2 bools — adjacency
+        # updates happen at keyframe rate, off the hot path)
+        self._vis_sh = NamedSharding(mesh, P(None, "gauss"))
+        if self.cfg.mapping.enable_pgo:
+            self.kf_vis = jax.device_put(
+                jnp.zeros((kc, capacity), bool), self._vis_sh)
+        else:
+            self.kf_vis = None
+        self.adj = np.zeros((kc, kc), bool)
+        self.loop_closures = 0  # IoU edges beyond the consecutive chain
+        self.total_map_iters = 0
+        self._last_probe_grad = None  # [win, cap, 2] dL/dmeans2d, sharded
+
         self.key = jax.random.PRNGKey(seed)
         self.health = 0
         self.step_ema = 0.0  # EMA per-frame translation (kf_adapt trigger)
@@ -258,20 +273,47 @@ class ShardedSlam:
 
         self._kd_stats = jax.jit(kd_stats)
 
+        # -- banded window render WITH a means2d probe: adding a zero to
+        # each band's projected means makes dL/dprobe the band-local
+        # dL/dmeans2d — the statistic gradient densification selects on
+        # (reference backend.py:330-338), with no cross-band traffic
+        # (a splat's 2D-mean gradient only flows through its own band's
+        # layer, exactly like its parameter gradients) --
+        def band_render_probe(g, viewmats, Ks, probe):
+            out = render_impl(
+                **g.render_kwargs(), viewmats=viewmats, Ks=Ks,
+                width=W_, height=H_,
+                bg_rgb=jnp.zeros((3,), jnp.float32), cfg=mcfg.render,
+                probe2d=probe)
+            rgbs = jax.lax.all_gather(out.rgb, "gauss")
+            alphas = jax.lax.all_gather(out.alpha, "gauss")
+            depths = jax.lax.all_gather(out.depth, "gauss")
+            betas = jax.lax.all_gather(out.beta, "gauss")
+            rgb, alpha, depth, beta = _compose_bands(
+                rgbs, alphas, depths, betas, mcfg.render.beta_background)
+            return rgb, alpha, depth, beta
+
+        render_p = jax.shard_map(
+            band_render_probe, mesh=mesh,
+            in_specs=(P("gauss"), P(), P(), P(None, "gauss", None)),
+            out_specs=P(), check_vma=False)
+
         # -- windowed mapping: n_iters of banded render + masked 3-term
         # loss + sharded Adam + pose SGD, one dispatch --
         def map_step(gmap, opt, win_imgs, win_poses, win_exps, win_mask,
                      win_depths, K, n_iters):
             Ks = jnp.tile(K[None], (win, 1, 1))
+            cap = gmap.capacity
 
             def one_iter(_, carry):
-                g, o, pv = carry
+                g, o, pv, _gp = carry
 
-                def loss_fn(trainable, pv):
+                def loss_fn(trainable, pv, probe):
                     gm = g.with_trainable(trainable)
                     viewmats = pose_matrix(
                         PoseDelta(win_poses, pv[:, :6], pv[:, 6:9]))
-                    rgb, alpha, depth, beta = render_c(gm, viewmats, Ks)
+                    rgb, alpha, depth, beta = render_p(
+                        gm, viewmats, Ks, probe)
                     rendered = apply_exposure(rgb, win_exps)
                     photo = mapping_photometric(
                         rendered, win_imgs, beta, active_gs=mcfg.active_gs,
@@ -287,26 +329,50 @@ class ShardedSlam:
                             masked_depth_l1(depth, win_depths, win_mask)
                     return loss
 
-                g_map, g_pose = jax.grad(loss_fn, argnums=(0, 1))(
-                    g.trainable(), pv)
+                probe0 = jnp.zeros((win, cap, 2))
+                g_map, g_pose, g_probe = jax.grad(
+                    loss_fn, argnums=(0, 1, 2))(g.trainable(), pv, probe0)
                 g2, o2 = adam_step(g, g_map, o)
                 pv2 = pv - mcfg.pose_lr * g_pose
-                return g2, o2, pv2
+                return g2, o2, pv2, g_probe
 
             pv0 = jnp.zeros((win, 9))
-            gmap, opt, pv = jax.lax.fori_loop(
-                0, n_iters, one_iter, (gmap, opt, pv0))
+            gp0 = jnp.zeros((win, cap, 2))
+            gmap, opt, pv, g_probe = jax.lax.fori_loop(
+                0, n_iters, one_iter, (gmap, opt, pv0, gp0))
             # gauge anchor: never move the oldest VALID window pose (early
             # positions may be masked padding duplicates of it)
             first_valid = jnp.argmax(win_mask)
             pv = jnp.where((jnp.arange(win) == first_valid)[:, None],
                            0.0, pv)
             refined = pose_matrix(PoseDelta(win_poses, pv[:, :6], pv[:, 6:9]))
-            return gmap, opt, refined
+            return gmap, opt, refined, g_probe
 
+        probe_sh = NamedSharding(self.mesh, P(None, "gauss", None))
         self._map_step = jax.jit(
             map_step, out_shardings=(self._map_sh, self._opt_sh,
-                                     self._rspec))
+                                     self._rspec, probe_sh))
+
+        # -- per-splat visibility at one pose (pose-graph snapshots);
+        # band-local radii stay band-local: out_specs P('gauss') --
+        def band_vis(g, pose, K):
+            out = render_impl(
+                **g.render_kwargs(), viewmats=pose[None], Ks=K[None],
+                width=W_, height=H_,
+                bg_rgb=jnp.zeros((3,), jnp.float32), cfg=mcfg.render)
+            return out.radii[0] > 0
+
+        self._view_vis = jax.jit(jax.shard_map(
+            band_vis, mesh=mesh, in_specs=(P("gauss"), P(), P()),
+            out_specs=P("gauss")))
+
+        # -- loop-closure IoU of one visibility row against the ring --
+        def vis_iou(kf_vis, vis, kf_mask):
+            inter = jnp.sum(kf_vis & vis[None], axis=1).astype(jnp.float32)
+            union = jnp.sum(kf_vis | vis[None], axis=1).astype(jnp.float32)
+            return jnp.where(kf_mask, inter / jnp.maximum(union, 1.0), 0.0)
+
+        self._vis_iou = jax.jit(vis_iou, out_shardings=self._rspec)
 
         from gslam_tpu.mapping.insertion import InsertResult
 
@@ -323,6 +389,19 @@ class ShardedSlam:
                         initial_opacity=mcfg.initial_opacity)),
             out_shardings=insert_sh)
 
+        # -- gradient densification over the banded probe gradient: the
+        # single-chip insertion function run under GSPMD, like _insert_kf
+        # (a rare op — XLA partitions the top-k/scatter itself) --
+        from gslam_tpu.mapping.insertion import densify_by_gradients
+
+        _densify_raw = densify_by_gradients.__wrapped__
+        self._densify_prog = jax.jit(
+            partial(_densify_raw, width=W_, height=H_,
+                    max_new=mcfg.densify_max_new,
+                    grow_grad2d=mcfg.grow_grad2d,
+                    grow_scale3d=mcfg.grow_scale3d),
+            out_shardings=insert_sh)
+
         def prune(gmap):
             return pruning.apply_prune(
                 gmap, pruning.low_opacity_mask(
@@ -332,31 +411,55 @@ class ShardedSlam:
         self._repartition = jax.jit(
             partition_by_depth,
             out_shardings=(self._map_sh, self._opt_sh))
+        # variant that also permutes the pose graph's splat-indexed
+        # visibility snapshots (their columns must track the buffer order)
+        self._repartition_vis = jax.jit(
+            partition_by_depth,
+            out_shardings=(self._map_sh, self._opt_sh, self._vis_sh))
 
     # ----------------------------- frame loop -----------------------------
 
     def _window(self):
         """Ring slots of the most recent `window_size` keyframes, padded by
         repeating the oldest resident one, plus the validity mask (padded
-        duplicates are masked out of the loss)."""
-        win = self.cfg.mapping.window_size
+        duplicates are masked out of the loss). With enable_pgo the window
+        is `recent_window` recents plus pose-graph neighbors of the newest
+        keyframe (reference backend.py:193-247 fan-out; same deterministic
+        first-k selection as the fused runtime)."""
+        mcfg = self.cfg.mapping
+        win = mcfg.window_size
+        n_recent = mcfg.recent_window if mcfg.enable_pgo else win
         lo = max(self.kf_count - self.kf_capacity, 0)  # oldest resident kf
-        ks = np.clip(np.arange(self.kf_count - win, self.kf_count),
+        ks = np.clip(np.arange(self.kf_count - n_recent, self.kf_count),
                      lo, max(self.kf_count - 1, 0))
         slots = (ks % self.kf_capacity).astype(np.int32)
-        mask = np.zeros((win,), bool)
-        mask[max(win - (self.kf_count - lo), 0):] = True
+        mask = np.zeros((n_recent,), bool)
+        mask[max(n_recent - (self.kf_count - lo), 0):] = True
+        if mcfg.enable_pgo:
+            newest = self.kf_frames_slot(max(self.kf_count - 1, 0))
+            cand = self.adj[newest] & self.kf_mask
+            cand[slots[mask]] = False  # already in the recent set
+            extra = np.flatnonzero(cand)[: win - n_recent]
+            pad = win - n_recent - len(extra)
+            slots = np.concatenate(
+                [slots, extra.astype(np.int32),
+                 np.zeros((pad,), np.int32)])
+            mask = np.concatenate(
+                [mask, np.ones((len(extra),), bool),
+                 np.zeros((pad,), bool)])
         return jnp.asarray(slots), jnp.asarray(mask)
 
     def kf_frames_slot(self, k: int) -> int:
         return int(k % self.kf_capacity)
 
     def _run_mapping(self, slots, mask, n_iters, K):
-        gm, opt, refined = self._map_step(
+        gm, opt, refined, g_probe = self._map_step(
             self.gmap, self.opt, self.kf_imgs[slots], self.kf_poses[slots],
             self.kf_exps[slots], mask, self.kf_gt_depths[slots], K,
             jnp.int32(n_iters))
         self.gmap, self.opt = gm, opt
+        self.total_map_iters += int(n_iters)
+        self._last_probe_grad = g_probe
         # fold refined window poses back into the ring; padded duplicate
         # positions are dropped (a scatter with duplicate indices could
         # otherwise let an unrefined duplicate overwrite the refined pose)
@@ -382,9 +485,8 @@ class ShardedSlam:
                 pose, frame_index=jnp.int32(0),
                 gt_depthmap=dep if cfg.use_gt_depths else None)
             self.gmap, self.opt = g, o
-            self._add_keyframe(0, img, pose, dep, mock_depth)
-            self.gmap, self.opt = self._repartition(self.gmap, pose,
-                                                    self.opt)
+            self._add_keyframe(0, img, pose, dep, mock_depth, K)
+            self._repartition_all(pose)
             slots, mask = self._window()
             self._run_mapping(slots, mask, mcfg.num_iters_init, K)
             self.trajectory.append(np.eye(4, dtype=np.float32))
@@ -443,28 +545,73 @@ class ShardedSlam:
                 kf_mask=filt_mask,
                 gt_depthmap=dep if cfg.use_gt_depths else None)
             self.gmap, self.opt = g, o
-            self._add_keyframe(i, img, pose, dep, est_depth)
-            self.gmap, self.opt = self._repartition(self.gmap, pose,
-                                                    self.opt)
+            self._add_keyframe(i, img, pose, dep, est_depth, K)
+            self._repartition_all(pose)
 
         slots, mask = self._window()
         n_iters = mcfg.num_iters_mapping if take else cfg.idle_iters
+        before_iters = self.total_map_iters
         if n_iters > 0:
             self._run_mapping(slots, mask, n_iters, K)
 
-        if cfg.prune_every and (i + 1) % cfg.prune_every == 0:
+        # gradient densification at the reference cadence (every
+        # densify_every total optimization steps, backend.py:330-338),
+        # selecting on the final iteration's banded dL/dmeans2d
+        if (mcfg.densify_every > 0 and self._last_probe_grad is not None
+                and (before_iters // mcfg.densify_every)
+                != (self.total_map_iters // mcfg.densify_every)):
+            self.key, k_d = jax.random.split(self.key)
+            g, o, _n_ins, _n_req = self._densify_prog(
+                k_d, self.gmap, self.opt, self._last_probe_grad,
+                frame_index=jnp.int32(i))
+            self.gmap, self.opt = g, o
+            self._last_probe_grad = None
+            self._repartition_all(jnp.asarray(self.trajectory[-1]))
+        elif cfg.prune_every and (i + 1) % cfg.prune_every == 0:
+            # never prune on a pass that just densified (actor parity)
             self.gmap = self._prune(self.gmap)
 
-    def _add_keyframe(self, i, img, pose, gt_depth, est_depth):
+    def _add_keyframe(self, i, img, pose, gt_depth, est_depth, K=None):
         slot = self.kf_frames_slot(self.kf_count)
         self.kf_imgs = self.kf_imgs.at[slot].set(img)
         self.kf_poses = self.kf_poses.at[slot].set(pose)
         self.kf_exps = self.kf_exps.at[slot].set(self._exposure)
         self.kf_gt_depths = self.kf_gt_depths.at[slot].set(gt_depth)
         self.kf_est_depths = self.kf_est_depths.at[slot].set(est_depth)
+        if self.cfg.mapping.enable_pgo and K is not None:
+            # pose-graph bookkeeping (reference backend.py:632-737): a
+            # visibility snapshot for the new keyframe, the consecutive-
+            # chain edge, and loop-closure edges by visible-splat IoU >
+            # kf_cov against every resident keyframe. The ring slot being
+            # overwritten loses its old edges first.
+            prev_slot = self.kf_frames_slot(self.kf_count - 1)
+            vis = self._view_vis(self.gmap, jnp.asarray(pose), K)
+            iou = np.asarray(self._vis_iou(
+                self.kf_vis, vis, jnp.asarray(self.kf_mask)))
+            self.kf_vis = self.kf_vis.at[slot].set(vis)
+            self.adj[slot, :] = False
+            self.adj[:, slot] = False
+            if self.kf_count > 0:
+                self.adj[slot, prev_slot] = self.adj[prev_slot, slot] = True
+            closures = (iou > self.cfg.mapping.kf_cov) & self.kf_mask
+            closures[slot] = closures[prev_slot] = False
+            if closures.any():
+                self.loop_closures += int(closures.sum())
+                self.adj[slot, closures] = True
+                self.adj[closures, slot] = True
         self.kf_mask[slot] = True
         self.kf_count += 1
         self.kf_frames.append(i)
+
+    def _repartition_all(self, ref_pose):
+        """Depth-repartition the buffer (+ Adam moments + pose-graph
+        visibility columns) at a reference pose."""
+        if self.cfg.mapping.enable_pgo:
+            self.gmap, self.opt, self.kf_vis = self._repartition_vis(
+                self.gmap, ref_pose, self.opt, self.kf_vis)
+        else:
+            self.gmap, self.opt = self._repartition(self.gmap, ref_pose,
+                                                    self.opt)
 
     def run(self, dataset, max_frames: int | None = None,
             eval_stride: int = 0) -> dict:
@@ -491,6 +638,8 @@ class ShardedSlam:
             "n_devices": int(np.prod([self.mesh.shape[a]
                                       for a in self.mesh.axis_names])),
             "live": int(jnp.sum(self.gmap.alive)),
+            "total_map_iters": self.total_map_iters,
+            "loop_closures": self.loop_closures,
         }
         if nonfinite == 0:
             gt_c = np.stack([-m[:3, :3].T @ m[:3, 3] for m in gt])
