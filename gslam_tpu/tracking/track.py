@@ -33,7 +33,7 @@ from gslam_tpu.ops.rasterize import RenderConfig, compute_bins, render_impl
 
 @dataclasses.dataclass(frozen=True)
 class TrackingConfig:
-    method: str = "igs"  # 'igs' (splat render) | 'warp' (dense image warp)
+    method: str = "igs"  # 'igs' (L-BFGS) | 'gn' (Gauss-Newton) | 'warp'
     photometric_loss: str = "active-nerf"  # 'l1' | 'mse' | 'active-nerf'
     pose_lr: float = 0.002
     warmup_steps: int = 10
@@ -85,6 +85,17 @@ class TrackingConfig:
     # per-level L-BFGS eval budgets, coarse -> fine; used when
     # pyramid_levels > 1 (entries beyond pyramid_levels are ignored)
     pyramid_evals: tuple = (100, 70, 50)
+    # Gauss-Newton (method='gn'): Levenberg-Marquardt on the weighted
+    # residual VECTOR instead of L-BFGS on the scalar loss. The normal
+    # system is 9x9 (11x11 with exposure) so each iteration is one
+    # linearization (primal render + p batched tangent passes, forward
+    # mode through the XLA blend) + one candidate render; quadratic
+    # convergence replaces the ~200-eval line-search crawl
+    # (docs/TRACKING_STUDY.md: the eval-COUNT lever to 30 FPS).
+    gn_iters: int = 10
+    gn_lambda0: float = 1e-2  # initial LM damping (scaled by diag(JtJ))
+    gn_tol: float = 1e-5  # step-norm early exit
+    gn_huber_depth: float = 0.02  # IRLS clamp for the depth L1 term (m)
     render: RenderConfig = RenderConfig()
 
 
@@ -210,6 +221,155 @@ def track_frame_impl(
                        rejected=~ok)
 
 
+def track_frame_gn_impl(
+    gmap: GaussianMap,
+    base_pose: jax.Array,
+    init_exposure: jax.Array,
+    gt_img: jax.Array,
+    K: jax.Array,
+    width: int,
+    height: int,
+    cfg: TrackingConfig = TrackingConfig(),
+    gt_depth: jax.Array | None = None,
+) -> TrackResult:
+    """Levenberg-Marquardt tracking on the weighted residual vector.
+
+    Replaces the reference's 200-closure-eval L-BFGS line search
+    (/root/reference/gslam/frontend.py:604-658) with a second-order
+    method the 9-11 dim pose/exposure space admits trivially: per LM
+    iteration, ONE linearization of the per-pixel residual (a
+    `jax.linearize` primal render + p batched tangent passes through the
+    pure-XLA blend — the Pallas blend is custom_vjp/reverse-only, so GN
+    pins `render.backend='xla'`) builds the p x p normal system, solved
+    in-jit by `jnp.linalg.solve`; one more render scores the candidate.
+
+    Residual rows, matching the L-BFGS objective term-for-term:
+      * photometric: (exposure-corrected rgb - gt) / beta / sqrt(HW)
+        per channel — sum of squares == the 'active-nerf' tracking loss
+        (ops/losses.py tracking_photometric), with beta an IRLS weight
+        held at the linearization point;
+      * depth (RGB-D): the alpha-normalized expected-depth residual with
+        IRLS weights w^2 = depth_loss_weight / (max(|r|, huber) * Nvalid)
+        so the quadratic model reproduces the alpha-masked depth L1 of
+        `masked_depth_l1` around the linearization point.
+
+    `n_evals` counts RENDER passes (primal + candidate = 2/iteration);
+    each tangent pass costs roughly one more forward in FLOPs but is
+    batched p-wide through the MXU, so device ms — not eval count — is
+    the honest cost metric (bench.py measures it directly).
+    """
+    learn_exposure = cfg.learn_exposure
+    p = 11 if learn_exposure else 9
+
+    bins = compute_bins(
+        gmap.means, gmap.quats, gmap.log_scales, gmap.alive,
+        base_pose[None], K[None], width, height, cfg.render,
+        radius_scale=cfg.bin_radius_margin,
+    )
+    # Forward-mode AD (jax.linearize tangents) cannot cross the Pallas
+    # blend's custom_vjp; the chunked XLA blend is jvp-differentiable.
+    rcfg = dataclasses.replace(cfg.render, backend="xla")
+
+    n_px = float(height * width)
+    use_depth = cfg.use_gt_depths and gt_depth is not None
+
+    def unpack(x):
+        pose = pose_matrix(PoseDelta(base_pose, x[:6], x[6:9]))
+        exposure = x[9:11] if learn_exposure else init_exposure
+        return pose, exposure
+
+    def resid_parts(x):
+        """Raw residuals + the primal fields the IRLS weights come from."""
+        pose, exposure = unpack(x)
+        out = render_impl(
+            **gmap.render_kwargs(), viewmats=pose[None], Ks=K[None],
+            width=width, height=height, cfg=rcfg, bins=bins,
+        )
+        rgb = apply_exposure(out.rgb[0], exposure)
+        err = (rgb - gt_img).reshape(-1)  # [HW3]
+        if use_depth:
+            d_hat = out.depth[0] / jnp.maximum(out.alpha[0], 1e-3)
+            derr = (d_hat - gt_depth).reshape(-1)  # [HW]
+        else:
+            derr = jnp.zeros((1,), jnp.float32)
+        return err, derr, out.beta[0].reshape(-1), out.alpha[0].reshape(-1)
+
+    gt_d_flat = (gt_depth.reshape(-1) if use_depth else
+                 jnp.zeros((1,), jnp.float32))
+
+    def weights(derr, beta, alpha):
+        """IRLS row weights at the linearization point (no gradients)."""
+        w_rgb = 1.0 / (beta * jnp.sqrt(n_px))  # [HW]; broadcast to 3 chans
+        if use_depth:
+            valid = (gt_d_flat > 0.0) & (alpha > cfg.depth_alpha_min)
+            nv = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+            w2 = cfg.depth_loss_weight / (
+                jnp.maximum(jnp.abs(derr), cfg.gn_huber_depth) * nv)
+            w_d = jnp.where(valid, jnp.sqrt(w2), 0.0)
+        else:
+            w_d = jnp.zeros_like(derr)
+        return w_rgb, w_d
+
+    def true_loss(err, derr, beta, alpha):
+        """The L-BFGS-comparable objective at a rendered point."""
+        loss = jnp.mean(
+            jnp.sum(err.reshape(-1, 3) ** 2, axis=-1) * beta ** -2.0)
+        if use_depth:
+            valid = (gt_d_flat > 0.0) & (alpha > cfg.depth_alpha_min)
+            nv = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+            loss = loss + cfg.depth_loss_weight * (
+                jnp.sum(jnp.where(valid, jnp.abs(derr), 0.0)) / nv)
+        return loss
+
+    eye_p = jnp.eye(p, dtype=jnp.float32)
+
+    def lm_iter(carry):
+        x, lam, f, n_evals, k, _done = carry
+        (err, derr, beta, alpha), jvp = jax.linearize(resid_parts, x)
+        w_rgb, w_d = weights(derr, beta, alpha)
+        w3 = jnp.repeat(w_rgb, 3)  # channel-interleaved layout of err
+        r = jnp.concatenate([err * w3, derr * w_d])
+        Je, Jd, _, _ = jax.vmap(jvp)(eye_p)  # [p, HW3], [p, HW]
+        J = jnp.concatenate([Je * w3[None, :], Jd * w_d[None, :]], axis=1)
+        JtJ = jnp.matmul(J, J.T, precision=HIGH)  # [p, p]
+        Jtr = jnp.matmul(J, r, precision=HIGH)  # [p]
+        A = JtJ + lam * jnp.diag(jnp.diagonal(JtJ)) + 1e-8 * eye_p
+        delta = -jnp.linalg.solve(A, Jtr)
+        x_new = x + delta
+        err2, derr2, beta2, alpha2 = resid_parts(x_new)
+        f_new = true_loss(err2, derr2, beta2, alpha2)
+        better = jnp.isfinite(f_new) & (f_new < f)
+        x = jnp.where(better, x_new, x)
+        f = jnp.where(better, f_new, f)
+        lam = jnp.where(better, lam * 0.33, lam * 10.0)
+        done = ((better & (jnp.linalg.norm(delta) < cfg.gn_tol))
+                | (lam > 1e7))
+        return x, lam, f, n_evals + 2, k + 1, done
+
+    def lm_cond(carry):
+        _x, _lam, _f, _n, k, done = carry
+        return (k < cfg.gn_iters) & ~done
+
+    x0 = jnp.concatenate([jnp.zeros(9), init_exposure])
+    e0, d0, b0, a0 = resid_parts(x0)
+    f0 = true_loss(e0, d0, b0, a0)
+    x, _lam, f, n_evals, _k, _done = jax.lax.while_loop(
+        lm_cond, lm_iter,
+        (x0, jnp.float32(cfg.gn_lambda0), f0, jnp.int32(1),
+         jnp.int32(0), jnp.bool_(False)),
+    )
+    ok = (
+        jnp.all(jnp.isfinite(x))
+        & jnp.isfinite(f)
+        & (jnp.linalg.norm(x[6:9]) < cfg.max_step)
+    )
+    x = jnp.where(ok, x, x0)
+    f = jnp.where(ok, f, jnp.float32(1e3))
+    pose, exposure = unpack(x)
+    return TrackResult(pose=pose, exposure=exposure, loss=f, n_evals=n_evals,
+                       rejected=~ok)
+
+
 def _halve_image(img: jax.Array) -> jax.Array:
     """2x2 average pool over the leading [H, W, ...] axes."""
     H, W = img.shape[0], img.shape[1]
@@ -250,13 +410,14 @@ def track_frame_pyramid_impl(
     pixels, so equal counts are NOT equal device time. `rejected` is
     True only when every level's guard fired (the returned pose is then
     the untouched motion prior)."""
+    impl = track_frame_gn_impl if cfg.method == "gn" else track_frame_impl
     L = cfg.pyramid_levels
     # static clip: only as many levels as the image size halves into
     while L > 1 and (width % (1 << (L - 1)) or height % (1 << (L - 1))):
         L -= 1
     if L <= 1:
-        return track_frame_impl(gmap, base_pose, init_exposure, gt_img, K,
-                                width, height, cfg, gt_depth)
+        return impl(gmap, base_pose, init_exposure, gt_img, K,
+                    width, height, cfg, gt_depth)
 
     imgs, depths, Ks = [gt_img], [gt_depth], [K]
     for _ in range(L - 1):
@@ -300,7 +461,7 @@ def track_frame_pyramid_impl(
             pyramid_levels=1,
             render=rcfg,
         )
-        r = track_frame_impl(
+        r = impl(
             gmap, pose, exposure, imgs[lvl], Ks[lvl],
             width // s, height // s, cfg_l, depths[lvl])
         pose, exposure = r.pose, r.exposure

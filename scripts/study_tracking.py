@@ -62,6 +62,10 @@ def main():
                     help="coarse-to-fine levels (1 = flat tracker)")
     ap.add_argument("--pyramid-evals", type=str, default="100,70,50",
                     help="per-level eval budgets, coarse->fine")
+    ap.add_argument("--tracker", choices=["lbfgs", "gn"], default="lbfgs",
+                    help="gn = Levenberg-Marquardt on the residual vector "
+                         "(TrackingConfig.method='gn')")
+    ap.add_argument("--gn-iters", type=int, default=10)
     args = ap.parse_args()
 
     import numpy as np
@@ -103,7 +107,10 @@ def main():
         lbfgs_max_eval=args.evals, lbfgs_max_iter=args.iters,
         warmup_steps=args.warmup, bin_radius_margin=args.margin,
         pyramid_levels=args.pyramid, pyramid_evals=pyr_evals,
+        method="gn" if args.tracker == "gn" else "igs",
+        gn_iters=args.gn_iters,
     )
+    out["tracker"] = args.tracker
     out["pyramid"] = args.pyramid
     if args.pyramid > 1:
         out["pyramid_evals"] = list(pyr_evals)
@@ -148,6 +155,8 @@ def main():
                 warmup_steps=args.warmup, bin_radius_margin=args.margin,
                 use_gt_depths=use_gt,
                 pyramid_levels=args.pyramid, pyramid_evals=pyr_evals,
+                method="gn" if args.tracker == "gn" else "igs",
+                gn_iters=args.gn_iters,
             ),
             mapping=MapConfig(kf_m=args.kf_m, use_gt_depths=use_gt),
             max_frames=args.frames, use_gt_depths=use_gt,

