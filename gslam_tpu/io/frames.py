@@ -27,6 +27,7 @@ class Frame:
     # filled by the runtime:
     est_pose: np.ndarray | None = None  # [4, 4] world-to-camera
     exposure: np.ndarray | None = None  # [2]
+    rejected: bool = False  # tracking guard fell back to the motion prior
 
     def strip(self) -> "Frame":
         """Drop image payloads, keep trajectory state (reference Frame.strip)."""

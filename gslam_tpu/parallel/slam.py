@@ -160,6 +160,8 @@ class ShardedSlam:
         self.key = jax.random.PRNGKey(seed)
         self.health = 0
         self.step_ema = 0.0  # EMA per-frame translation (kf_adapt trigger)
+        self.innov_ema = 0.0  # accepted-innovation EMA (guard gauge)
+        self.consec_rej = 0  # consecutive rejections (guard bound growth)
         self._kf_anchor = np.eye(4, dtype=np.float32)  # tracked pose at
         # the last keyframe event (kf_adapt gauge anchor)
         self.trajectory: list[np.ndarray] = []
@@ -500,6 +502,32 @@ class ShardedSlam:
         self.gmap, self.opt = self._repartition(self.gmap, prior, self.opt)
         pose, exp, _loss, _n_evals, rejected = self._track(
             self.gmap, prior, self._exposure, img, K, dep)
+        rejected = bool(rejected)
+        # innovation-scaled plausibility gate, same rule as the fused and
+        # actor runtimes (TrackingConfig.guard_*): a refinement many
+        # times the typical accepted innovation, or a large rotation off
+        # the prior, is a basin jump — dead-reckon on the motion model.
+        # The bound expands with consecutive rejections so a genuine
+        # re-lock correction is accepted (no rejection spiral).
+        tcfg = cfg.tracking
+        delta = np.asarray(pose) @ np.linalg.inv(np.asarray(prior))
+        innov = float(np.linalg.norm(delta[:3, 3]))
+        if tcfg.guard_innov_mult > 0.0 and not rejected and i >= 3:
+            cos_rot = (float(np.trace(delta[:3, :3])) - 1.0) * 0.5
+            bound = (max(tcfg.guard_innov_mult * self.innov_ema,
+                         tcfg.guard_step_floor)
+                     + self.consec_rej
+                     * max(2.0 * self.innov_ema,
+                           0.5 * tcfg.guard_step_floor))
+            if innov > bound or cos_rot < np.cos(tcfg.guard_max_rot):
+                pose, exp = prior, self._exposure
+                rejected = True
+        if rejected:
+            self.consec_rej += 1
+        else:
+            self.consec_rej = 0
+            self.innov_ema = (innov if self.innov_ema == 0.0
+                              else 0.8 * self.innov_ema + 0.2 * innov)
         self._exposure = exp
         self.health += int(rejected)
         if cfg.abort_unhealthy and self.health >= cfg.abort_unhealthy:
@@ -528,8 +556,8 @@ class ShardedSlam:
             and self.step_ema > 1e-3 * float(med)
             and anchor_tr > mcfg.kf_adapt * self.step_ema
         )
-        take = (float(tr) > mcfg.kf_m * float(med)) or (
-            float(cos_z) < mcfg.kf_cos) or adaptive
+        take = ((float(tr) > mcfg.kf_m * float(med)) or (
+            float(cos_z) < mcfg.kf_cos) or adaptive) and not rejected
 
         if take:
             self._kf_anchor = np.asarray(pose)
@@ -634,7 +662,13 @@ class ShardedSlam:
             "kf_frames": self.kf_frames,
             "health": self.health,
             "nonfinite_poses": nonfinite,
-            "diverged": bool(self.health > 0 or nonfinite > 0),
+            # fused.py parity: transient guard rejections are recoveries;
+            # diverged means the abort threshold was reached or a pose
+            # went non-finite
+            "diverged": bool(
+                nonfinite > 0
+                or (self.health >= self.cfg.abort_unhealthy
+                    if self.cfg.abort_unhealthy else self.health > 0)),
             "n_devices": int(np.prod([self.mesh.shape[a]
                                       for a in self.mesh.axis_names])),
             "live": int(jnp.sum(self.gmap.alive)),

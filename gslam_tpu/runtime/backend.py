@@ -383,7 +383,10 @@ class BackendActor:
         )
         take = (translation > self.cfg.kf_m * med
                 or cos_z < self.cfg.kf_cos or adaptive)
-        if not take:
+        # never keyframe a guard-rejected (dead-reckoned) frame: inserting
+        # splats at a motion-model pose poisons the map (fused twin gates
+        # identically in slam_step_impl)
+        if not take or frame.rejected:
             return False
         self._kf_anchor = np.asarray(pose)
 

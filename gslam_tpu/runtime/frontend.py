@@ -46,6 +46,9 @@ class FrontendActor:
         # the floor (VERDICT r4 weak #5) — the mode verify runs was
         # blind to its own divergence.
         self.health = 0
+        self._step_ema = 0.0  # per-frame translation EMA (telemetry)
+        self._innov_ema = 0.0  # accepted-innovation EMA (guard gauge)
+        self._consec_rej = 0  # consecutive rejections (guard bound growth)
         self.evals: list[int] = []
         self.sink = sink if sink is not None else NullSink()
 
@@ -127,13 +130,59 @@ class FrontendActor:
                 self.cfg,
                 gt_depth=gt_depth,
             )
-            frame.est_pose = np.asarray(res.pose)
+            est_pose = np.asarray(res.pose)
+            rejected = bool(res.rejected)
+            # Innovation-scaled plausibility gate, the actor twin of the
+            # fused step's (runtime/fused.py slam_step_impl): a refined
+            # pose whose translation off the motion prior exceeds several
+            # times the typical ACCEPTED innovation — or whose rotation
+            # off the prior exceeds guard_max_rot — is a basin jump, not
+            # a correction (r5 gate forensics: mirror views of the splat
+            # fog score nominal losses). The bound expands with
+            # consecutive rejections so a genuine re-lock correction
+            # (which equals the accumulated dead-reckoning error) is
+            # accepted rather than spiral-rejected.
+            delta = est_pose @ np.linalg.inv(np.asarray(prior))
+            innov = float(np.linalg.norm(delta[:3, 3]))
+            if (self.cfg.guard_innov_mult > 0.0 and not rejected
+                    and len(self.frames) >= 3):
+                cos_rot = (float(np.trace(delta[:3, :3])) - 1.0) * 0.5
+                bound = (
+                    max(self.cfg.guard_innov_mult * self._innov_ema,
+                        self.cfg.guard_step_floor)
+                    + self._consec_rej
+                    * max(2.0 * self._innov_ema,
+                          0.5 * self.cfg.guard_step_floor))
+                if (innov > bound
+                        or cos_rot < np.cos(self.cfg.guard_max_rot)):
+                    logger.warning(
+                        "frame %d guard: innov=%.4f bound=%.4f "
+                        "(ema=%.4f consec=%d) cos_rot=%.4f (limit %.4f)",
+                        frame.index, innov, bound, self._innov_ema,
+                        self._consec_rej, cos_rot,
+                        float(np.cos(self.cfg.guard_max_rot)))
+                    est_pose = np.asarray(prior)
+                    rejected = True
+            if rejected:
+                self._consec_rej += 1
+            else:
+                self._consec_rej = 0
+                self._innov_ema = (
+                    innov if self._innov_ema == 0.0
+                    else 0.8 * self._innov_ema + 0.2 * innov)
+            frame.est_pose = est_pose
             frame.exposure = np.asarray(res.exposure)
             final_loss = float(res.loss)
             # one readback for both counters (they ride the loss sync)
-            self.health += int(res.rejected)
+            self.health += int(rejected)
+            frame.rejected = rejected
             self.evals.append(int(res.n_evals))
-            if res.rejected:
+            step = float(np.linalg.norm(
+                (frame.est_pose
+                 @ np.linalg.inv(self.frames[-1].est_pose))[:3, 3]))
+            self._step_ema = (step if len(self.frames) == 1
+                              else 0.9 * self._step_ema + 0.1 * step)
+            if rejected:
                 logger.warning(
                     "frame %d: tracking guard rejected the refined pose "
                     "(falling back to the motion prior); health=%d",

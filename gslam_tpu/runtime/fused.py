@@ -159,6 +159,12 @@ class FusedState(NamedTuple):
     # losses so far; read at backlog syncs so the host can abort early
     step_ema: jax.Array  # [] f32 EMA of per-frame camera translation —
     # drives the motion-adaptive keyframe trigger (kf_adapt)
+    innov_ema: jax.Array  # [] f32 EMA of ACCEPTED tracking innovations
+    # (translation of est vs the motion prior) — the plausibility-gate
+    # gauge (TrackingConfig.guard_innov_mult)
+    consec_rej: jax.Array  # [] int32 consecutive guard rejections —
+    # expands the gate bound so a genuine re-lock correction (which grows
+    # with dead-reckoned drift) is accepted rather than spiral-rejected
     kf_anchor: jax.Array  # [4, 4] TRACKED pose at the last keyframe event
     # (tracking gauge — the adaptive trigger must not measure across the
     # mapping-optimized keyframe gauge, whose drift vs the tracked
@@ -202,6 +208,8 @@ def init_fused_state(
         live_count=jnp.int32(0),
         health=jnp.int32(0),
         step_ema=jnp.float32(0.0),
+        innov_ema=jnp.float32(0.0),
+        consec_rej=jnp.int32(0),
         kf_anchor=jnp.eye(4, dtype=jnp.float32),
         n_evals_traj=jnp.zeros((F,), jnp.int32),
         kd_translation=jnp.zeros((F,), jnp.float32),
@@ -265,6 +273,44 @@ def slam_step_impl(
     pose, exposure, tloss, n_evals, rejected = jax.lax.cond(
         i > 0, do_track, no_track)
 
+    # ---- innovation-scaled plausibility gate (TrackingConfig.guard_*) --
+    # The in-tracker guard only bounds the step absolutely (max_step);
+    # here a history gauge exists: state.innov_ema tracks the typical
+    # ACCEPTED innovation (translation of the refined pose vs the motion
+    # prior), so a refinement many times that scale — or a large rotation
+    # off the prior — is a basin jump, not a correction. It falls back to
+    # the prior and counts as a rejection: the pose stays on the motion
+    # model, the map stays unpoisoned (keyframes are gated on rejection
+    # below), and the next frame re-tracks against a clean map. The bound
+    # EXPANDS with consecutive rejections (state.consec_rej): a genuine
+    # re-lock correction equals the accumulated dead-reckoning error, and
+    # a fixed bound would reject every recovery attempt (the r5 spiral:
+    # corrections 3.3 -> 8.6 cm over 5 straight rejections).
+    tcfg = cfg.tracking
+    innov_ema, consec_rej = state.innov_ema, state.consec_rej
+    if tcfg.guard_innov_mult > 0.0:
+        delta = jnp.matmul(pose, invert_se3(prior), precision=HIGH)
+        innov = jnp.linalg.norm(delta[:3, 3])
+        cos_rot = (jnp.trace(delta[:3, :3]) - 1.0) * 0.5
+        bound = (
+            jnp.maximum(tcfg.guard_innov_mult * innov_ema,
+                        tcfg.guard_step_floor)
+            + consec_rej.astype(jnp.float32)
+            * jnp.maximum(2.0 * innov_ema, 0.5 * tcfg.guard_step_floor))
+        implaus = (i >= 3) & (
+            (innov > bound) | (cos_rot < jnp.cos(tcfg.guard_max_rot)))
+        pose = jnp.where(implaus, prior, pose)
+        exposure = jnp.where(implaus, state.exposure, exposure)
+        rejected = rejected + implaus.astype(jnp.int32)
+        accepted = (rejected == 0) & (i >= 1)
+        innov_ema = jnp.where(
+            accepted,
+            jnp.where(innov_ema == 0.0, innov,
+                      0.8 * innov_ema + 0.2 * innov),
+            innov_ema)
+        consec_rej = jnp.where(rejected > 0, consec_rej + 1,
+                               jnp.where(i >= 1, jnp.int32(0), consec_rej))
+
     # ---- keyframe decision (reference backend.py:739-792) ----
     last_slot = ring_slot(jnp.maximum(state.kf_count - 1, 0), kf_cap)
     prev_kf_pose = state.kf.poses()[last_slot]
@@ -296,9 +342,14 @@ def slam_step_impl(
     )
     take = (
         (i == 0)
-        | (stats.translation > mcfg.kf_m * stats.median_depth)
-        | (stats.cos_z < mcfg.kf_cos)
-        | adaptive
+        | (((stats.translation > mcfg.kf_m * stats.median_depth)
+            | (stats.cos_z < mcfg.kf_cos)
+            | adaptive)
+           # never take a keyframe on a guard-rejected frame: inserting
+           # splats at a dead-reckoned pose poisons the map exactly when
+           # tracking most needs it clean (the r5 gate's f16-f23 keyframe
+           # burst inserted splats out to 34 m median depth)
+           & (rejected == 0))
     )
     kf_anchor = jnp.where(take, pose, state.kf_anchor)
 
@@ -415,6 +466,8 @@ def slam_step_impl(
         live_count=jnp.sum(gmap.alive).astype(jnp.int32),
         health=health,
         step_ema=step_ema,
+        innov_ema=innov_ema,
+        consec_rej=consec_rej,
         kf_anchor=kf_anchor,
         n_evals_traj=state.n_evals_traj.at[i].set(n_evals),
         kd_translation=state.kd_translation.at[i].set(stats.translation),
@@ -927,7 +980,16 @@ class FusedSlam:
             "dropped_inserts": int(state.dropped_total),
             "health": int(state.health),
             "nonfinite_poses": int(np.sum(~finite_mask)),
-            "diverged": bool(int(state.health) > 0 or (~finite_mask).any()),
+            # a guard rejection is the recovery mechanism WORKING (pose
+            # falls back to the motion model, map stays clean, next frame
+            # re-tracks): transient rejections leave health > 0 but only
+            # persistent ones — reaching the abort threshold — mean the
+            # trajectory is dead-reckoned garbage.
+            "diverged": bool(
+                (~finite_mask).any()
+                or (int(state.health) >= self.cfg.abort_unhealthy
+                    if self.cfg.abort_unhealthy
+                    else int(state.health) > 0)),
             **({"n_pgo_edges": int(jnp.sum(state.adj)) // 2}
                if self.cfg.mapping.enable_pgo else {}),
             "track_losses_mean": float(np.mean(

@@ -245,7 +245,13 @@ class SlamSystem:
         )
         metrics["health"] = fe.health
         metrics["nonfinite_poses"] = nonfinite
-        metrics["diverged"] = bool(fe.health > 0 or nonfinite > 0)
+        # transient guard rejections (health > 0) are recoveries, not
+        # divergence — the run is diverged only when rejections reached
+        # the abort threshold or a pose went non-finite (fused.py parity)
+        metrics["diverged"] = bool(
+            nonfinite > 0
+            or (fe.health >= self.cfg.abort_unhealthy
+                if self.cfg.abort_unhealthy else fe.health > 0))
         if fe.evals:
             metrics["mean_track_evals"] = float(np.mean(fe.evals))
         metrics["max_pairs_seen"] = be.max_pairs_seen
@@ -268,6 +274,9 @@ class SlamSystem:
             if self.run_dir:
                 kf_ids = sorted(be.frame_slot.keys())
                 plot_trajectories(gt_t, est_t, self.run_dir / "traj.png", kf_ids)
+                # parity with the fused runtime's run artifacts (main.py:233)
+                np.save(self.run_dir / "trajectory.npy",
+                        np.stack([np.asarray(p) for p in est_t]))
 
         # re-render every k-th tracked frame from the final map, scored in
         # fixed-size batched programs (one dispatch per `batch` views)

@@ -57,6 +57,34 @@ class TrackingConfig:
     # see VERDICT r3. Rejections are counted in FusedState.health and
     # surfaced at the host's backlog-sync readbacks.
     max_step: float = 0.5
+    # Innovation-scaled plausibility gate (applied where a history gauge
+    # exists: fused/actor/sharded runtimes, not the bare track_frame).
+    # The r5 chip gates proved the absolute max_step is too loose at
+    # realistic motion: at a ~4 cm/frame gait the tracker basin-jumped
+    # 8-12 cm from the prior at f16 (passing the 0.5 m guard) and then
+    # accepted a 180-degree-flipped pose at f17 whose mirror view of the
+    # splat cloud scores a NOMINAL loss (runs/r5_gate_gn telemetry:
+    # kd_cos_z[17] = -0.9999, track_losses[17] = 0.027; the no-SH splat
+    # fog looks the same from behind).
+    #
+    # Gauge: an EMA of ACCEPTED innovations (translation of est vs the
+    # motion prior) — the Kalman innovation test, self-tuning per
+    # scenario (a half-converged map yields legitimately large
+    # corrections; a locked-in run yields mm-scale ones). A track is
+    # rejected when its innovation exceeds
+    #   max(guard_innov_mult * innov_ema, guard_step_floor)
+    #     + n_consec_rejected * max(2 * innov_ema, guard_step_floor / 2)
+    # or its rotation off the prior exceeds guard_max_rot radians. The
+    # additive term grows the bound while dead-reckoning so a genuine
+    # re-lock correction (~= accumulated model error) is ACCEPTED — a
+    # fixed bound creates a rejection spiral: each dead-reckoned frame
+    # grows the needed correction, guaranteeing the next rejection
+    # (observed on the r5 verify run: corrections 3.3 -> 8.6 cm over 5
+    # straight rejections, every one refused by a 3 cm floor).
+    # guard_innov_mult = 0 disables (reference-parity: no guard at all).
+    guard_innov_mult: float = 3.5
+    guard_step_floor: float = 0.03
+    guard_max_rot: float = 0.35
     learn_exposure: bool = True
     use_gt_depths: bool = False
     # Depth residual weight. The reference uses 0.01 on an UNMASKED L1

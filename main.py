@@ -207,6 +207,7 @@ def main(argv=None):
             ipd = 0 if jax.default_backend() == "cpu" else 50
         fcfg = FusedConfig(
             tracking=cfg.tracking, mapping=cfg.mapping,
+            abort_unhealthy=cfg.abort_unhealthy,
             max_frames=args.max_frames or max(len(dataset), 1),
             init_n_new=args.init_n_new, kf_n_new=args.kf_n_new,
             idle_iters=cfg.mapping.num_iters_mapping,

@@ -129,7 +129,7 @@ run_with_resume "$RUN" "$DATASET" "$FLAGSHIP_FRAMES" 7200
 if check_metrics "runs/$RUN/metrics.json" "runs/$RUN/trajectory.npy" \
     >> "$LOG" 2>&1; then
   git add "runs/$RUN" && git commit -q -m \
-    "r5 chip flagship: 160-frame 320x240 SLAM run, quality-gated (ate<0.05, psnr>=25)" \
+    "r5 chip flagship: ${FLAGSHIP_FRAMES}-frame SLAM run ($DATASET), quality-gated (ate<0.05, psnr>=25)" \
     && log "flagship artifact committed"
 else
   log "flagship metrics FAIL commit gate — artifact left uncommitted"

@@ -324,7 +324,9 @@ def test_fused_nan_frame_survives_with_fallback():
     m = slam.run(ds, chunk=1, sync_every=0)
     assert np.isfinite(slam.trajectory).all()
     assert m["health"] >= 1
-    assert m["diverged"] is True  # reported honestly
+    # one recovered rejection is honest health accounting, not a
+    # diverged run: diverged = abort threshold reached or non-finite
+    assert m["diverged"] is False
     assert m["nonfinite_poses"] == 0
 
 

@@ -110,8 +110,9 @@ def test_actor_nan_frame_survives_with_fallback(tmp_path):
     """Actor-path twin of test_fused_nan_frame_survives_with_fallback
     (VERDICT r4 weak #5: FrontendActor dropped TrackResult.rejected on
     the floor, so the mode the verifier runs was blind to divergence).
-    A NaN sensor frame must be guard-rejected, counted in `health`, and
-    reported as diverged=True while every pose stays finite."""
+    A NaN sensor frame must be guard-rejected and counted in `health`
+    while every pose stays finite; one recovered rejection is NOT a
+    diverged run (diverged = abort threshold reached or non-finite)."""
     ds = SyntheticDataset(
         seq_len=8, width=64, height=48, n_splats=400, seed=4,
         motion_scale=0.01
@@ -122,7 +123,7 @@ def test_actor_nan_frame_survives_with_fallback(tmp_path):
     system = SlamSystem(cfg, 64, 48)
     metrics = system.run(ds)
     assert metrics["health"] >= 1
-    assert metrics["diverged"] is True
+    assert metrics["diverged"] is False  # recovered, not diverged
     assert metrics["nonfinite_poses"] == 0
     assert np.isfinite(metrics["ate"])
     assert metrics["mean_track_evals"] > 0
@@ -142,3 +143,48 @@ def test_actor_host_abort_on_unhealthy(tmp_path):
     system = SlamSystem(cfg, 64, 48)
     with pytest.raises(RuntimeError, match="health counter"):
         system.run(ds)
+
+
+def test_actor_plausibility_guard_rejects_basin_jump(tmp_path, monkeypatch):
+    """Motion-scaled plausibility gate (TrackingConfig.guard_*): a tracker
+    result far beyond the camera's own recent per-frame motion — the r5
+    gate's f16 failure signature (a 2-4x-step basin jump the absolute
+    max_step guard passed) — must fall back to the motion prior, count in
+    health, and not become a keyframe."""
+    import gslam_tpu.runtime.frontend as fe
+    from gslam_tpu.tracking.track import TrackResult
+
+    ds = SyntheticDataset(
+        seq_len=8, width=64, height=48, n_splats=400, seed=4,
+        motion_scale=0.02
+    )
+    real_track = fe.track_frame
+    jump_frames = {6}
+
+    def jumpy_track(gmap, prior, exposure, img, K, w, h, cfg, gt_depth=None):
+        res = real_track(gmap, prior, exposure, img, K, w, h, cfg,
+                         gt_depth=gt_depth)
+        if int(jumpy_track.i) in jump_frames:
+            bad = np.asarray(res.pose).copy()
+            bad[:3, 3] += 0.5  # ~25x the per-frame step: flagrant jump
+            res = TrackResult(pose=bad, exposure=res.exposure,
+                              loss=res.loss, n_evals=res.n_evals,
+                              rejected=res.rejected)
+        jumpy_track.i += 1
+        return res
+
+    jumpy_track.i = 1  # frame 0 is pinned, track() starts at frame 1
+    monkeypatch.setattr(fe, "track_frame", jumpy_track)
+
+    cfg = SlamConfig(**SMALL, run_dir=str(tmp_path / "guard"), eval_stride=4)
+    system = SlamSystem(cfg, 64, 48)
+    metrics = system.run(ds)
+    assert metrics["health"] >= 1, metrics
+    # a transient, recovered rejection is NOT divergence (the guard is
+    # the recovery mechanism): diverged only at the abort threshold
+    assert metrics["diverged"] is False
+    assert metrics["nonfinite_poses"] == 0
+    # the jump was replaced by the prior: trajectory stays in-scene
+    traj = np.load(tmp_path / "guard" / "trajectory.npy")
+    centers = np.stack([-p[:3, :3].T @ p[:3, 3] for p in traj])
+    assert np.linalg.norm(np.diff(centers, axis=0), axis=1).max() < 0.2
